@@ -1,0 +1,518 @@
+"""Batched fixed-limb natural-number (big integer) arithmetic for TPU.
+
+TPU-native re-design of the reference nn layer (reference: src/nn/nn.c,
+nn_add.c, nn_mul.c, nn_mul_redc1.c, nn_logical.c). Instead of one `nn`
+struct with a dynamic `wlen`, a *batch* of big integers is a single
+uint32 tensor of shape ``(K, *batch)`` — K limbs of ``LIMB_BITS`` bits
+each, least-significant limb first, with the batch in the trailing
+(lane) dimensions so every limb operation is a full-width VPU op.
+
+Why 16-bit limbs in uint32 lanes: the VPU has no 64-bit integer
+multiply; a 16x16 product fits exactly in uint32, and Comba column
+sums of ``K`` hi/lo halves stay far below 2^32 for any practical K
+(bound: K < 2^15). This replaces the reference's WORD_MUL half-word
+schoolbook primitive (src/words/words.h:98-127) with lane-vectorized
+exact uint32 arithmetic.
+
+All functions are pure and jit-friendly: static shapes, no
+data-dependent control flow. Where the reference returns error codes,
+we return lane masks (bool arrays over the batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LIMB_BITS = 16
+LIMB_MASK = np.uint32(0xFFFF)
+U32 = jnp.uint32
+
+
+def num_limbs(bits: int) -> int:
+    """Limb count for a given bit length (reference: BIT_LEN_WORDS, nn.h)."""
+    return -(-bits // LIMB_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (python int <-> limb arrays). These are the analog of
+# nn_init_from_buf / nn_export_to_buf (src/nn/nn.c:479,511) but live on host:
+# device code only ever sees fixed-K limb tensors.
+# ---------------------------------------------------------------------------
+
+def to_limbs(x: int, k: int) -> np.ndarray:
+    """Python int -> np.uint32[k], little-endian limbs."""
+    if x < 0:
+        raise ValueError("negative")
+    if x >> (k * LIMB_BITS):
+        raise ValueError(f"{x.bit_length()} bits does not fit in {k} limbs")
+    return np.array([(x >> (LIMB_BITS * i)) & int(LIMB_MASK) for i in range(k)],
+                    dtype=np.uint32)
+
+
+def from_limbs(a) -> int:
+    """np/jnp uint32[K] (single element, no batch) -> python int."""
+    a = np.asarray(a)
+    assert a.ndim == 1
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
+
+
+def batch_to_limbs(xs, k: int) -> np.ndarray:
+    """list[int] -> np.uint32[k, N]."""
+    return np.stack([to_limbs(x, k) for x in xs], axis=-1)
+
+
+def batch_from_limbs(a) -> list:
+    """np/jnp uint32[K, N] -> list[int]."""
+    a = np.asarray(a)
+    assert a.ndim == 2
+    return [from_limbs(a[:, j]) for j in range(a.shape[1])]
+
+
+def limbs_to_bytes_be(x: int, nbytes: int) -> bytes:
+    return int(x).to_bytes(nbytes, "big")
+
+
+# ---------------------------------------------------------------------------
+# Internal list-of-limbs helpers. Hot code paths unstack the limb axis into a
+# python list of (batch,)-shaped arrays so the K-step loops fully unroll at
+# trace time with no slicing in the compiled graph.
+# ---------------------------------------------------------------------------
+
+def _unstack(a):
+    return [a[i] for i in range(a.shape[0])]
+
+
+def _stack(limbs):
+    return jnp.stack(limbs, axis=0)
+
+
+def _zero_like(limb):
+    return jnp.zeros_like(limb)
+
+
+# ---------------------------------------------------------------------------
+# Add / sub with carry chains (reference: nn_add.c). K sequential vector ops.
+# ---------------------------------------------------------------------------
+
+def add(a, b):
+    """(a + b) limbwise. Returns (sum uint32[K,...], carry uint32[...] in {0,1})."""
+    al, bl = _unstack(a), _unstack(b)
+    k = max(len(al), len(bl))
+    out = []
+    carry = None
+    for i in range(k):
+        s = None
+        if i < len(al):
+            s = al[i]
+        if i < len(bl):
+            s = bl[i] if s is None else s + bl[i]
+        if carry is not None:
+            s = carry if s is None else s + carry
+        if s is None:
+            s = _zero_like(al[0])
+        out.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    return _stack(out), carry
+
+
+def sub(a, b):
+    """(a - b) limbwise mod 2^(16K). Returns (diff, borrow in {0,1})."""
+    al, bl = _unstack(a), _unstack(b)
+    out = []
+    borrow = jnp.zeros_like(al[0])
+    for i in range(len(al)):
+        bi = bl[i] if i < len(bl) else None
+        d = al[i] - borrow if bi is None else al[i] - bi - borrow
+        out.append(d & LIMB_MASK)
+        borrow = (d >> 31)  # uint32 wraparound sign bit = borrow
+    return _stack(out), borrow
+
+
+def cnd_select(cond, a, b):
+    """Lanewise select: cond ? a : b. cond is a (batch,) bool/uint mask.
+
+    Reference: constant-time WORD_MASK_IFNOTZERO selects (src/words/words.h:89);
+    here selection is a vector predicate — constant-schedule by construction.
+    """
+    c = cond.astype(bool)
+    return jnp.where(c[None, ...], a, b)
+
+
+def cnd_swap(cond, a, b):
+    """Lanewise conditional swap (reference: nn_cnd_swap, src/nn/nn.c:167)."""
+    c = cond.astype(bool)[None, ...]
+    return jnp.where(c, b, a), jnp.where(c, a, b)
+
+
+def eq_mask(a, b):
+    """Lanewise a == b -> bool[batch]."""
+    return jnp.all(a == b, axis=0)
+
+
+def is_zero_mask(a):
+    return jnp.all(a == 0, axis=0)
+
+
+def lt_mask(a, b):
+    """Lanewise a < b -> bool[batch] (reference: nn_cmp, src/nn/nn.c:360)."""
+    _, borrow = sub(a, b)
+    return borrow.astype(bool)
+
+
+def geq_mask(a, b):
+    return ~lt_mask(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Bit access / shifts (reference: nn_logical.c)
+# ---------------------------------------------------------------------------
+
+def get_bit(a, i: int):
+    """Static bit index -> uint32[batch] in {0,1}."""
+    return (a[i // LIMB_BITS] >> (i % LIMB_BITS)) & 1
+
+
+def bits_msb_first(a, nbits: int):
+    """Expand the low `nbits` bits of each lane into uint32[nbits, batch],
+    most-significant bit first. Used to drive fixed-schedule ladders."""
+    order = np.arange(nbits - 1, -1, -1)
+    limb_idx = order // LIMB_BITS
+    shifts = (order % LIMB_BITS).astype(np.uint32)
+    sel = a[limb_idx]                                   # (nbits, *batch)
+    sh = shifts.reshape((nbits,) + (1,) * (a.ndim - 1))
+    return (sel >> sh) & 1
+
+
+def shift_right_limbs(a, n: int):
+    """Shift right by whole limbs (static n)."""
+    k = a.shape[0]
+    al = _unstack(a)
+    out = [al[i + n] if i + n < k else _zero_like(al[0]) for i in range(k)]
+    return _stack(out)
+
+
+def shift_right_bits(a, n: int):
+    """Static right-shift by n bits (n < 16), within fixed K."""
+    assert 0 <= n < LIMB_BITS
+    if n == 0:
+        return a
+    al = _unstack(a)
+    k = len(al)
+    out = []
+    for i in range(k):
+        lo = al[i] >> n
+        hi = (al[i + 1] << (LIMB_BITS - n)) & LIMB_MASK if i + 1 < k else _zero_like(al[0])
+        out.append(lo | hi)
+    return _stack(out)
+
+
+def rshift(a, n: int):
+    """Static right shift by arbitrary n bits."""
+    a = shift_right_limbs(a, n // LIMB_BITS)
+    return shift_right_bits(a, n % LIMB_BITS)
+
+
+def truncate_bits(a, nbits: int):
+    """Keep only the low nbits (mask the rest). Static nbits."""
+    k = a.shape[0]
+    al = _unstack(a)
+    out = []
+    for i in range(k):
+        lo = i * LIMB_BITS
+        if lo + LIMB_BITS <= nbits:
+            out.append(al[i])
+        elif lo >= nbits:
+            out.append(_zero_like(al[0]))
+        else:
+            out.append(al[i] & np.uint32((1 << (nbits - lo)) - 1))
+    return _stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Multiplication: tensorized product scanning ("Comba as one tensor op").
+# Reference: schoolbook nn_mul (src/nn/nn_mul.c:123-190). Instead of a K^2
+# scalar multiply loop, ONE elementwise multiply produces all limb products
+# (Ka, Kb, *batch); hi/lo halves are summed into diagonal columns with a
+# short padded-shift loop. Columns are "relaxed" (< 2^(17+log2 K)) and only
+# resolved to canonical 16-bit limbs by an explicit carry chain.
+# ---------------------------------------------------------------------------
+
+def _mul_columns(a, b):
+    """Relaxed product columns: uint32[Ka+Kb, *batch], column k holding
+    sum_{i+j=k} lo16(a_i b_j) + sum_{i+j=k-1} hi16(a_i b_j)."""
+    ka, kb = a.shape[0], b.shape[0]
+    nc = ka + kb
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    prod = a[:, None] * b[None]                  # (Ka, Kb, *B) exact in u32
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    # row i occupies columns [i, i+Kb] once lo/hi are merged:
+    pad_cfg = [(0, 0), (0, 1)] + [(0, 0)] * len(bshape)
+    comb = jnp.pad(lo, pad_cfg)
+    pad_cfg[1] = (1, 0)
+    comb = comb + jnp.pad(hi, pad_cfg)           # (Ka, Kb+1, *B)
+    rows = []
+    for i in range(ka):
+        pre = [(i, nc - i - (kb + 1))] + [(0, 0)] * len(bshape)
+        rows.append(jnp.pad(comb[i], pre))
+    return jnp.sum(jnp.stack(rows, axis=0), axis=0)
+
+
+def _carry_chain(cols, out_limbs: int):
+    """Resolve relaxed columns into canonical 16-bit limbs.
+    Returns (stacked limbs uint32[out_limbs, *B], final carry uint32[*B])."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(out_limbs):
+        c = cols[k] + carry if k < cols.shape[0] else carry
+        out.append(c & LIMB_MASK)
+        carry = c >> LIMB_BITS
+    return _stack(out), carry
+
+
+def mul(a, b):
+    """Full product: uint32[Ka,...] x uint32[Kb,...] -> uint32[Ka+Kb,...]."""
+    cols = _mul_columns(a, b)
+    out, _ = _carry_chain(cols, a.shape[0] + b.shape[0])
+    return out
+
+
+def sqr(a):
+    return mul(a, a)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery machinery (reference: nn_mul_redc1.c CIOS, :124-218).
+# TPU-native reformulation: instead of CIOS's sequential K-step interleaved
+# reduction, use the fully parallel SOS form
+#     m = (T mod R) * (-p^-1 mod R) mod R        (one truncated product)
+#     result = (T + m*p) / R                     (one full product + shift)
+# so a Montgomery multiply is 3 tensorized column-products plus carry chains
+# — no data dependence across limb index except the cheap carry chains.
+# ---------------------------------------------------------------------------
+
+class MontCtx:
+    """Per-modulus Montgomery context. All constants are host-computed python
+    ints baked into the trace (the analog of the precomputed r/r2/mpinv curve
+    constants, reference: src/curves/known/ec_params_external.h:42-70).
+    """
+
+    def __init__(self, p: int, k: int | None = None):
+        if p % 2 == 0:
+            raise ValueError("Montgomery requires odd modulus")
+        self.p_int = p
+        self.bits = p.bit_length()
+        self.k = k if k is not None else num_limbs(self.bits)
+        if p >> (self.k * LIMB_BITS):
+            raise ValueError("modulus does not fit in k limbs")
+        self.R = 1 << (self.k * LIMB_BITS)
+        self.r_int = self.R % p
+        self.r2_int = (self.R * self.R) % p
+        self.mpinv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        # full-width -p^-1 mod R for the parallel SOS reduction
+        self.pinv_full = to_limbs((-pow(p, -1, self.R)) % self.R, self.k)
+        self.p = to_limbs(p, self.k)
+        self.r = to_limbs(self.r_int, self.k)
+        self.r2 = to_limbs(self.r2_int, self.k)
+        self.one_limbs = to_limbs(1, self.k)
+
+    def __repr__(self):
+        return f"MontCtx(bits={self.bits}, k={self.k})"
+
+
+def _cond_sub_p(limbs, carry, pl):
+    """Given value v = carry*2^(16K) + limbs with v < 2p, return v mod p.
+    Constant-schedule conditional subtract."""
+    k = len(pl)
+    s = []
+    borrow = jnp.zeros_like(limbs[0])
+    for i in range(k):
+        d = limbs[i] - pl[i] - borrow
+        s.append(d & LIMB_MASK)
+        borrow = d >> 31
+    take_sub = (carry >= borrow)
+    out = [jnp.where(take_sub, s[i], limbs[i]) for i in range(k)]
+    return out
+
+
+def _const_bcast(arr_np, bshape):
+    c = jnp.asarray(arr_np)
+    return c.reshape(c.shape + (1,) * len(bshape))
+
+
+def mont_mul(a, b, ctx: MontCtx):
+    """Montgomery product a*b*R^-1 mod p, canonical (<p) output.
+
+    Valid whenever a*b < R*p (in particular for canonical a,b < p).
+    Reference algorithm: _nn_mul_redc1 CIOS (src/nn/nn_mul_redc1.c:124-218);
+    here the parallel SOS form (see module comment above).
+    """
+    k = ctx.k
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    t_cols = _mul_columns(a, b)                       # (2k, *B) relaxed
+    # T mod R exactly: resolve low k columns
+    t_lo, c_lo = _carry_chain(t_cols[:k], k)          # canonical, carry into col k
+    # m = T_lo * (-p^-1) mod R  (truncated product, low k limbs exact)
+    pinv = _const_bcast(ctx.pinv_full, bshape)
+    m_cols = _mul_columns(t_lo, pinv)[:k]
+    m, _ = _carry_chain(m_cols, k)
+    # U = m * p; S = T + U is divisible by R. Low-half columns of S carry out
+    # c_total; high half = T_hi + U_hi + carries.
+    p_arr = _const_bcast(ctx.p, bshape)
+    u_cols = _mul_columns(m, p_arr)                   # (2k, *B) relaxed
+    # carry out of low half of S: S_lo columns = t_cols_lo + u_cols_lo, but we
+    # already resolved t_lo; recombine: low columns = t_lo + u_lo (+ c_lo at k)
+    s_lo_cols = t_lo + u_cols[:k]
+    _, c_s = _carry_chain(s_lo_cols, k)               # limbs are all zero
+    hi_cols = t_cols[k:] + u_cols[k:]
+    hi_cols = hi_cols.at[0].add(c_lo + c_s)
+    limbs, top = _carry_chain(hi_cols, k)
+    pl = [np.uint32(v) for v in ctx.p]
+    return _stack(_cond_sub_p(_unstack(limbs), top, pl))
+
+
+def mont_sqr(a, ctx: MontCtx):
+    return mont_mul(a, a, ctx)
+
+
+def to_mont(a, ctx: MontCtx):
+    """a -> a*R mod p (reference: fp_redcify)."""
+    r2 = jnp.asarray(ctx.r2)
+    r2 = r2.reshape(r2.shape + (1,) * (a.ndim - 1))
+    return mont_mul(a, jnp.broadcast_to(r2, a.shape), ctx)
+
+
+def from_mont(a, ctx: MontCtx):
+    """a*R -> a mod p (reference: fp_unredcify)."""
+    one = jnp.asarray(ctx.one_limbs)
+    one = one.reshape(one.shape + (1,) * (a.ndim - 1))
+    return mont_mul(a, jnp.broadcast_to(one, a.shape), ctx)
+
+
+# ---------------------------------------------------------------------------
+# Modular add/sub/neg for canonical operands (< p).
+# Reference: nn_mod_add/sub/neg (src/nn/nn_add.c:337,398,467).
+# ---------------------------------------------------------------------------
+
+def _const_limbs(ctx_arr, like):
+    c = jnp.asarray(ctx_arr)
+    return jnp.broadcast_to(c.reshape(c.shape + (1,) * (like.ndim - 1)), like.shape)
+
+
+def mod_add(a, b, ctx: MontCtx):
+    al, bl = _unstack(a), _unstack(b)
+    k = ctx.k
+    out = []
+    carry = jnp.zeros_like(al[0])
+    for i in range(k):
+        s = al[i] + bl[i] + carry
+        out.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    pl = [np.uint32(v) for v in ctx.p]
+    return _stack(_cond_sub_p(out, carry, pl))
+
+
+def mod_sub(a, b, ctx: MontCtx):
+    d, borrow = sub(a, b)
+    dp, _ = add(d, _const_limbs(ctx.p, d))
+    # if borrow: use d + p (wrapped add restores the true value)
+    return cnd_select(borrow.astype(bool), dp, d)
+
+
+def mod_neg(a, ctx: MontCtx):
+    """(-a) mod p, with (-0) = 0."""
+    p = _const_limbs(ctx.p, a)
+    d, _ = sub(p, a)
+    z = is_zero_mask(a)
+    return cnd_select(z, jnp.zeros_like(a), d)
+
+
+def mod_reduce_once(a, ctx: MontCtx):
+    """a mod p for a < 2p (single conditional subtract)."""
+    al = _unstack(a)
+    pl = [np.uint32(v) for v in ctx.p]
+    z = jnp.zeros_like(al[0])
+    return _stack(_cond_sub_p(al, z, pl))
+
+
+def reduce_wide(x, ctx: MontCtx):
+    """x mod p for x up to 2K limbs wide (e.g. 512-bit hash mod 256-bit q).
+
+    Splits x = x_hi*R + x_lo and uses three Montgomery multiplies — no
+    division machinery needed (replaces the reference's reciprocal division
+    path nn_divrem, src/nn/nn_div.c:968, for all in-library uses).
+    """
+    k = ctx.k
+    if x.shape[0] <= k:
+        xl = jnp.concatenate([x, jnp.zeros((k - x.shape[0],) + x.shape[1:], U32)], 0) \
+            if x.shape[0] < k else x
+        t = mont_mul(xl, _const_limbs(ctx.r2, xl), ctx)       # x*R mod p
+        return mont_mul(t, _const_limbs(ctx.one_limbs, t), ctx)     # x mod p
+    assert x.shape[0] <= 2 * k
+    x_lo, x_hi = x[:k], x[k:]
+    if x_hi.shape[0] < k:
+        pad = jnp.zeros((k - x_hi.shape[0],) + x.shape[1:], U32)
+        x_hi = jnp.concatenate([x_hi, pad], 0)
+    r2 = _const_limbs(ctx.r2, x_lo)
+    one = _const_limbs(ctx.one_limbs, x_lo)
+    t_hi = mont_mul(x_hi, r2, ctx)              # x_hi * R mod p
+    t_lo = mont_mul(mont_mul(x_lo, r2, ctx), one, ctx)  # x_lo mod p
+    return mod_add(t_hi, t_lo, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Modular exponentiation / inversion.
+# ---------------------------------------------------------------------------
+
+def mont_pow_static(a_mont, e: int, ctx: MontCtx):
+    """a^e mod p with *static* exponent, a in Montgomery form, result in
+    Montgomery form. Square-and-multiply driven by a lax.scan over the
+    (host-known) exponent bits — fixed schedule, one traced body.
+
+    Reference: nn_mod_pow_redc Montgomery-ladder (src/nn/nn_mod_pow.c:242);
+    a static exponent needs no ladder hardening (it is public).
+    """
+    if e == 0:
+        return _const_limbs(ctx.r, a_mont)  # 1 in Montgomery form
+    nbits = e.bit_length()
+    bits = np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                    dtype=np.uint32)
+
+    def body(acc, bit):
+        acc = mont_sqr(acc, ctx)
+        acc_m = mont_mul(acc, a_mont, ctx)
+        acc = jnp.where(bit.astype(bool), acc_m, acc)
+        return acc, None
+
+    # first bit is always 1: start from a
+    acc, _ = jax.lax.scan(body, a_mont, jnp.asarray(bits[1:]))
+    return acc
+
+
+def mont_inv_fermat(a_mont, ctx: MontCtx):
+    """Constant-schedule modular inverse via Fermat: a^(p-2) (prime p).
+    Reference: nn_modinv_fermat (src/nn/nn_modinv.c:504). Input/output in
+    Montgomery form. Returns garbage for a == 0 (caller masks)."""
+    return mont_pow_static(a_mont, ctx.p_int - 2, ctx)
+
+
+def mod_pow(base, exp, ctx: MontCtx, nbits: int | None = None):
+    """base^exp mod p with *traced* exponent limbs (uint32[K,...]).
+    Fixed-schedule square-and-multiply over nbits (default: modulus bits).
+    Non-Montgomery domain in/out."""
+    if nbits is None:
+        nbits = ctx.k * LIMB_BITS
+    b = to_mont(base, ctx)
+    bits = bits_msb_first(exp, nbits)  # (nbits, batch)
+    acc0 = _const_limbs(ctx.r, b)      # 1 in Montgomery form
+
+    def body(acc, bit):
+        acc = mont_sqr(acc, ctx)
+        acc_m = mont_mul(acc, b, ctx)
+        acc = cnd_select(bit.astype(bool), acc_m, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc0, bits)
+    return from_mont(acc, ctx)
