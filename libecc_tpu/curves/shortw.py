@@ -93,8 +93,10 @@ def point_neg(c: ShortWCurve, p: PrjPoint) -> PrjPoint:
     return PrjPoint(p.x, fp.neg(p.y, c.fp_ctx), p.z)
 
 
-def is_infinity_mask(p: PrjPoint):
-    return fp.is_zero_mask(p.z)
+def is_infinity_mask(c: ShortWCurve, p: PrjPoint):
+    """Z ≡ 0 (mod p) lanewise. Canonicalizes: relaxed reps of 0 may hold
+    nonzero limbs (multiples of p)."""
+    return fp.is_zero_mask(p.z, c.fp_ctx)
 
 
 def _mul_group(ctx, pairs):
@@ -186,12 +188,26 @@ def point_dbl(c: ShortWCurve, P: PrjPoint) -> PrjPoint:
 
 def to_affine(c: ShortWCurve, P: PrjPoint):
     """Normalize to Z=1 (reference: prj_pt_unique, prj_pt.c:241).
-    Returns (x, y, inf_mask) with x,y in Montgomery form; x=y=0 at infinity."""
+    Returns (x, y, inf_mask) with x,y CANONICAL Montgomery-form limbs;
+    x=y=0 at infinity."""
     ctx = c.fp_ctx
-    inf = is_infinity_mask(P)
+    inf = is_infinity_mask(c, P)
     zinv = fp.inv(P.z, ctx)   # 0 -> 0, masked below
-    x = fp.mul(P.x, zinv, ctx)
-    y = fp.mul(P.y, zinv, ctx)
+    x = fp.canon(fp.mul(P.x, zinv, ctx), ctx)
+    y = fp.canon(fp.mul(P.y, zinv, ctx), ctx)
+    z = ctx.zero(like=x)
+    return fp.select(inf, z, x), fp.select(inf, z, y), inf
+
+
+def to_affine_plain(c: ShortWCurve, P: PrjPoint):
+    """Like to_affine but returns PLAIN-domain canonical coordinates
+    (ready for export / mod-q reduction in the sig layer)."""
+    from ..nn import core as nncore
+    ctx = c.fp_ctx
+    inf = is_infinity_mask(c, P)
+    zinv = fp.inv(P.z, ctx)
+    x = nncore.canonicalize_from_mont(fp.mul(P.x, zinv, ctx), ctx)
+    y = nncore.canonicalize_from_mont(fp.mul(P.y, zinv, ctx), ctx)
     z = ctx.zero(like=x)
     return fp.select(inf, z, x), fp.select(inf, z, y), inf
 
@@ -209,7 +225,7 @@ def on_curve_mask(c: ShortWCurve, P: PrjPoint):
     rhs = fp.mul(fp.sqr(X, ctx), X, ctx)
     rhs = fp.add(rhs, fp.mul(A, fp.mul(X, z2, ctx), ctx), ctx)
     rhs = fp.add(rhs, fp.mul(B, fp.mul(z2, Z, ctx), ctx), ctx)
-    return fp.eq_mask(lhs, rhs)
+    return fp.eq_mask(lhs, rhs, ctx)
 
 
 def y_from_x(c: ShortWCurve, x):

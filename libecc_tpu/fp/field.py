@@ -21,9 +21,18 @@ from ..nn.core import MontCtx, LIMB_BITS
 
 class FpCtx(MontCtx):
     """Field context for GF(p). Extends MontCtx with square-root machinery
-    (Tonelli-Shanks constants; reference: src/fp/fp_sqrt.c:26-107)."""
+    (Tonelli-Shanks constants; reference: src/fp/fp_sqrt.c:26-107).
+
+    Field contexts allocate 2 headroom limbs beyond the prime's width so the
+    relaxed (carry-free) arithmetic invariants hold (see nn.core relaxed
+    section): R/p >= 2^25.
+    """
+
+    HEADROOM_LIMBS = 2
 
     def __init__(self, p: int, k: int | None = None):
+        if k is None:
+            k = nn.num_limbs(p.bit_length()) + self.HEADROOM_LIMBS
         super().__init__(p, k)
         # Decompose p - 1 = q * 2^s for Tonelli-Shanks
         s, q = 0, p - 1
@@ -68,8 +77,8 @@ class FpCtx(MontCtx):
         return jnp.asarray(a[:, 0] if single else a)
 
     def to_ints(self, a, from_mont=True):
-        """Device batch (Montgomery form) -> host list[int]."""
-        a = np.asarray(a)
+        """Device batch (Montgomery form, possibly relaxed) -> host list[int]."""
+        a = np.asarray(nn.canonicalize(jnp.asarray(a), self))
         if a.ndim == 1:
             a = a[:, None]
         vals = nn.batch_from_limbs(a)
@@ -80,25 +89,52 @@ class FpCtx(MontCtx):
 
 
 # -- Montgomery-domain ops (the *_monty API, fp_montgomery.c) -----------------
+# All ops are RELAXED (carry-free limb reps; see nn.core): one vector add for
+# +, a complement trick for -, chain-free Montgomery multiplies. Values are
+# only canonicalized at boundaries (eq/export/is_zero).
 
 def add(a, b, ctx: FpCtx):
-    return nn.mod_add(a, b, ctx)
+    return nn.mod_add_relaxed(a, b)
 
 
 def sub(a, b, ctx: FpCtx):
-    return nn.mod_sub(a, b, ctx)
+    return nn.mod_sub_relaxed(a, b, ctx)
 
 
 def neg(a, ctx: FpCtx):
-    return nn.mod_neg(a, ctx)
+    return nn.mod_neg_relaxed(a, ctx)
 
 
 def mul(a, b, ctx: FpCtx):
-    return nn.mont_mul(a, b, ctx)
+    return nn.mont_mul_relaxed(a, b, ctx)
 
 
 def sqr(a, ctx: FpCtx):
-    return nn.mont_mul(a, a, ctx)
+    return nn.mont_mul_relaxed(a, a, ctx)
+
+
+def canon(a, ctx: FpCtx):
+    """Relaxed -> canonical (exact limbs, value < p)."""
+    return nn.canonicalize(a, ctx)
+
+
+def pow_static(a, e: int, ctx: FpCtx):
+    """a^e (Montgomery domain, relaxed) with static public exponent.
+    Square-and-multiply via lax.scan over host-known bits."""
+    if e == 0:
+        return ctx.one(like=a)
+    import jax
+    nbits = e.bit_length()
+    bits = np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                    dtype=np.uint32)
+
+    def body(acc, bit):
+        acc = sqr(acc, ctx)
+        acc_m = mul(acc, a, ctx)
+        return jnp.where(bit.astype(bool), acc_m, acc), None
+
+    acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
+    return acc
 
 
 def inv(a, ctx: FpCtx):
@@ -106,22 +142,25 @@ def inv(a, ctx: FpCtx):
     Returns 0 for input 0 (since 0^(p-2) = 0) — callers mask separately.
     Reference: fp_inv -> nn_modinv (src/fp/fp_mul.c:51); we use the Fermat
     path (src/nn/nn_modinv.c:504) which is branch-free and batchable."""
-    return nn.mont_inv_fermat(a, ctx)
+    return pow_static(a, ctx.p_int - 2, ctx)
 
 
 def div(a, b, ctx: FpCtx):
     return mul(a, inv(b, ctx), ctx)
 
 
-def pow_static(a, e: int, ctx: FpCtx):
-    return nn.mont_pow_static(a, e, ctx)
-
-
-def eq_mask(a, b):
+def eq_mask(a, b, ctx: FpCtx = None):
+    """Lanewise equality. For relaxed reps a field ctx must be supplied so
+    both sides are canonicalized first."""
+    if ctx is not None:
+        a = nn.canonicalize(a, ctx)
+        b = nn.canonicalize(b, ctx)
     return nn.eq_mask(a, b)
 
 
-def is_zero_mask(a):
+def is_zero_mask(a, ctx: FpCtx = None):
+    if ctx is not None:
+        a = nn.canonicalize(a, ctx)
     return nn.is_zero_mask(a)
 
 
@@ -134,7 +173,7 @@ def legendre_qr_mask(a, ctx: FpCtx):
     a in Montgomery form."""
     ls = pow_static(a, (ctx.p_int - 1) // 2, ctx)  # in {1, p-1} (Mont form)
     one = ctx.const(1, like=a)
-    return eq_mask(ls, one) | is_zero_mask(a)
+    return eq_mask(ls, one, ctx) | is_zero_mask(a, ctx)
 
 
 def sqrt(a, ctx: FpCtx):
@@ -150,7 +189,7 @@ def sqrt(a, ctx: FpCtx):
     p = ctx.p_int
     if p % 4 == 3:
         r = pow_static(a, (p + 1) // 4, ctx)
-        ok = eq_mask(sqr(r, ctx), a)
+        ok = eq_mask(sqr(r, ctx), a, ctx)
         return r, ok
 
     # general Tonelli-Shanks with fixed bound
@@ -170,7 +209,7 @@ def sqrt(a, ctx: FpCtx):
         cur = t
         i_found = jnp.full(t.shape[1:], s, jnp.int32)
         for i in range(s):
-            is1 = eq_mask(cur, one)
+            is1 = eq_mask(cur, one, ctx)
             i_found = jnp.where((i_found == s) & is1, i, i_found)
             cur = sqr(cur, ctx)
         return i_found
@@ -195,9 +234,9 @@ def sqrt(a, ctx: FpCtx):
         c = select(upd, c_new, c)
         t = select(upd, t_new, t)
         m = jnp.where(upd, i, m)
-    ok = eq_mask(sqr(r, ctx), a)
+    ok = eq_mask(sqr(r, ctx), a, ctx)
     # a == 0 -> sqrt 0
-    z0 = is_zero_mask(a)
+    z0 = is_zero_mask(a, ctx)
     r = select(z0, ctx.zero(like=a), r)
     ok = ok | z0
     return r, ok

@@ -25,8 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-LIMB_BITS = 16
-LIMB_MASK = np.uint32(0xFFFF)
+LIMB_BITS = 15
+LIMB_MASK = np.uint32(0x7FFF)
 U32 = jnp.uint32
 
 
@@ -72,6 +72,36 @@ def batch_from_limbs(a) -> list:
 
 def limbs_to_bytes_be(x: int, nbytes: int) -> bytes:
     return int(x).to_bytes(nbytes, "big")
+
+
+def be_words_to_limbs(words, total_bits: int, k_out: int):
+    """Device-side radix conversion: big-endian uint32 words -> 15-bit limbs.
+
+    words: uint32[W, *batch], interpreted as a big-endian W*32-bit integer
+    (the natural output of the hash kernels); total_bits = W*32.
+    Returns uint32[k_out, *batch] canonical limbs (little-endian 15-bit).
+    Each limb straddles at most two 32-bit words — static index math, fully
+    unrolled (~4 ops per limb). The analog of nn_init_from_buf (nn.c:479)
+    but on-device, so hash -> scalar never leaves the chip.
+    """
+    nw = words.shape[0]
+    assert total_bits == nw * 32
+    out = []
+    zero = jnp.zeros_like(words[0])
+    for j in range(k_out):
+        lo_bit = LIMB_BITS * j                      # bit offset from LSB
+        if lo_bit >= total_bits:
+            out.append(zero)
+            continue
+        # bit position from LSB -> word index from the END of the array
+        w_lo = nw - 1 - (lo_bit // 32)              # word containing lo_bit
+        sh = lo_bit % 32
+        v = words[w_lo] >> sh
+        take = 32 - sh
+        if take < LIMB_BITS and w_lo - 1 >= 0:
+            v = v | (words[w_lo - 1] << take)
+        out.append(v & LIMB_MASK)
+    return _stack(out)
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +344,16 @@ class MontCtx:
         # full-width -p^-1 mod R for the parallel SOS reduction
         self.pinv_full = to_limbs((-pow(p, -1, self.R)) % self.R, self.k)
         self.p = to_limbs(p, self.k)
+        # --- relaxed-subtraction complement constants (see mod_sub_relaxed).
+        # Subtrahend contract: value < 2^(bits+4), relaxed limbs <= 2^17-1.
+        # Complement width: smallest limb count whose weights cover the value.
+        self.sub_kc = min(self.k, num_limbs(self.bits + 5))
+        cc = (1 << 17) - 1
+        self.sub_cc = np.uint32(cc)
+        c1 = cc * (((1 << (LIMB_BITS * self.sub_kc)) - 1) // ((1 << LIMB_BITS) - 1))
+        self.sub_c0 = to_limbs((-c1) % p, self.k)
+        # relaxed arithmetic is only sound with enough radix headroom
+        self.relaxed_ok = (self.R >> self.bits) >= (1 << 24)
         self.r = to_limbs(self.r_int, self.k)
         self.r2 = to_limbs(self.r2_int, self.k)
         self.one_limbs = to_limbs(1, self.k)
@@ -375,6 +415,131 @@ def mont_mul(a, b, ctx: MontCtx):
 
 def mont_sqr(a, ctx: MontCtx):
     return mont_mul(a, a, ctx)
+
+
+# ---------------------------------------------------------------------------
+# RELAXED (carry-free) arithmetic — the field hot path.
+#
+# A *relaxed* element is any uint32[K, *batch] limb vector whose weighted sum
+# Σ limb_i 2^(15 i) equals the represented value; limbs may exceed 15 bits.
+# Invariants maintained by this layer (with K = num_limbs(bits) + 2, so the
+# Montgomery radix R = 2^(15K) has >= 2^25 headroom over p):
+#
+#   (V)  every value stays < 2^(bits+17)  (the sub-complement bound), and
+#        products a*b < R*p always holds;
+#   (L)  limbs entering a product are <= 2^15 + 2^8 (one relaxation pass);
+#        limbs anywhere are < 2^18.
+#
+# There are NO sequential carry chains here: addition is one vector add,
+# subtraction is a complement trick, and Montgomery reduction resolves its
+# single cross-boundary carry with an exactly-rounded float32 dot product.
+# Canonicalization (exact 15-bit limbs, value < p) happens only at
+# boundaries via `canonicalize`.
+#
+# This is the TPU-native replacement for the reference's word-serial
+# carry-propagating nn layer (src/nn/nn_add.c, nn_mul_redc1.c): on a lane
+# machine, deferring carries turns every op into a full-width VPU op.
+# ---------------------------------------------------------------------------
+
+def relax_once(a, drop_top_carry: bool = True):
+    """One relaxation pass: limb' = (limb & M) + (prev_limb >> 15).
+    Value-preserving except the top limb's carry (dropped when requested —
+    callers rely on value < R). Input limbs < 2^22 -> output <= 2^15 + 2^7."""
+    lo = a & LIMB_MASK
+    hi = a >> LIMB_BITS
+    pad = [(1, 0)] + [(0, 0)] * (a.ndim - 1)
+    hi_up = jnp.pad(hi, pad)[:-1] if drop_top_carry else jnp.pad(hi, pad)
+    return lo + hi_up
+
+
+def mod_add_relaxed(a, b):
+    """Relaxed modular add: ONE vector add (carries deferred)."""
+    return a + b
+
+
+def mod_sub_relaxed(a, b, ctx: MontCtx):
+    """Relaxed modular subtract via limbwise complement.
+
+    a - b  ==  a + (CC_vec - b) + c0   (mod p)
+    where CC_vec = (2^17-1) * Σ_{i<kc} 2^15i and c0 = -CC_vec mod p.
+    Contract: b's relaxed limbs <= 2^17-1 and value(b) < 2^(bits+4)
+    (so its limbs above kc are zero). 3 vector ops, no borrows.
+    """
+    assert ctx.relaxed_ok, "relaxed ops need a headroom ctx (use FpCtx)"
+    kc = ctx.sub_kc
+    comp = ctx.sub_cc - b[:kc]
+    if kc < b.shape[0]:
+        comp = jnp.concatenate(
+            [comp, jnp.zeros((b.shape[0] - kc,) + b.shape[1:], U32)], 0)
+    c0 = _const_bcast(ctx.sub_c0, ())
+    c0 = c0.reshape((ctx.k,) + (1,) * (a.ndim - 1))
+    return a + comp + c0
+
+
+def mod_neg_relaxed(a, ctx: MontCtx):
+    """Relaxed negation: complement only (value CC_vec - a + c0 ≡ -a mod p)."""
+    z = jnp.zeros_like(a)
+    return mod_sub_relaxed(z, a, ctx)
+
+
+def _f32_carry(cols_lo):
+    """Exact carry-out of a low half whose VALUE is divisible by R.
+
+    carry = value(cols_lo) / R computed by an exactly-rounded f32 sum of the
+    top columns: the true quotient is an integer < 2^9 and all dropped /
+    rounding error is < 2^-20, so rint() recovers it exactly."""
+    k = cols_lo.shape[0]
+    acc = cols_lo[k - 1].astype(jnp.float32) * np.float32(2.0 ** -LIMB_BITS)
+    acc = acc + cols_lo[k - 2].astype(jnp.float32) * np.float32(2.0 ** (-2 * LIMB_BITS))
+    acc = acc + cols_lo[k - 3].astype(jnp.float32) * np.float32(2.0 ** (-3 * LIMB_BITS))
+    return jnp.rint(acc).astype(U32)
+
+
+def mont_mul_relaxed(a, b, ctx: MontCtx):
+    """Relaxed Montgomery product: value(out) ≡ a*b*R^-1 (mod p),
+    value(out) < ~2.2p, limbs <= 2^15 + 2^8. No carry chains.
+
+    Inputs: any relaxed reps with value(a)*value(b) < R*p/4 and limbs < 2^22
+    (one relaxation pass is applied here).
+    Reference algorithm being replaced: CIOS _nn_mul_redc1
+    (src/nn/nn_mul_redc1.c:124-218)."""
+    assert ctx.relaxed_ok, "relaxed ops need a headroom ctx (use FpCtx)"
+    k = ctx.k
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    ar = relax_once(a)
+    br = relax_once(b)
+    t_cols = _mul_columns(ar, br)                     # (2k, *B), cols < 2^22
+    # m = (T mod R) * (-p^-1) mod R, then relaxed so value(m) < R(1+2^-7)
+    pinv = _const_bcast(ctx.pinv_full, bshape)
+    t_lo_r = relax_once(t_cols[:k])                   # mod R: top carry dropped
+    m = relax_once(_mul_columns(t_lo_r, pinv)[:k])    # value < R(1+eps)
+    p_arr = _const_bcast(ctx.p, bshape)
+    u_cols = _mul_columns(m, p_arr)                   # (2k, *B)
+    s_lo = t_cols[:k] + u_cols[:k]                    # value ≡ 0 (mod R)
+    carry = _f32_carry(s_lo)
+    hi = t_cols[k:] + u_cols[k:]
+    hi = hi.at[0].add(carry)
+    return relax_once(hi)
+
+
+def mont_sqr_relaxed(a, ctx: MontCtx):
+    return mont_mul_relaxed(a, a, ctx)
+
+
+def canonicalize(a, ctx: MontCtx):
+    """Relaxed rep (any value < R) -> canonical limbs, value reduced mod p.
+    Boundary-only op (export, comparisons): two exact Montgomery multiplies
+    (x -> x*R -> x mod p) plus a carry chain."""
+    limbs, top = _carry_chain(a, ctx.k)               # top == 0 since value < R
+    t = mont_mul(limbs, _const_limbs(ctx.r2, limbs), ctx)
+    return mont_mul(t, _const_limbs(ctx.one_limbs, t), ctx)
+
+
+def canonicalize_from_mont(a, ctx: MontCtx):
+    """Relaxed Montgomery-domain rep (value x*R + c*p, < ~3p) -> canonical
+    PLAIN-domain limbs (x mod p, < p). One exact Montgomery multiply by 1."""
+    limbs, _ = _carry_chain(a, ctx.k)
+    return mont_mul(limbs, _const_limbs(ctx.one_limbs, limbs), ctx)
 
 
 def to_mont(a, ctx: MontCtx):

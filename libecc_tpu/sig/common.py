@@ -1,0 +1,141 @@
+"""Shared signature-layer plumbing: hashing to scalars, nonce generation,
+batched message handling.
+
+Reference analog: the common helpers inside src/sig/sig_algs.c and
+ecdsa_common.c (hash truncation :398-413, nonce generation :435).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..fp.field import FpCtx
+from ..hash.registry import get_hash
+
+
+def hash_msgs_host(hash_name, msgs: list[bytes]) -> np.ndarray:
+    """Host-hash a list of messages -> big-endian words uint32[W, N]."""
+    alg = get_hash(hash_name)
+    digs = [alg.hash(m) for m in msgs]
+    return digests_to_words(digs)
+
+
+def digests_to_words(digs: list[bytes]) -> np.ndarray:
+    """Raw digests -> big-endian uint32 words [W, N] (zero-pad to word)."""
+    dlen = len(digs[0])
+    pad = (-dlen) % 4
+    w = (dlen + pad) // 4
+    out = np.zeros((w, len(digs)), np.uint32)
+    for j, d in enumerate(digs):
+        d = d + b"\x00" * pad
+        out[:, j] = np.frombuffer(d, dtype=">u4")
+    return out
+
+
+def e_from_digest_bits(words, digest_bits: int, q_ctx: FpCtx,
+                       q_bits: int | None = None):
+    """ECDSA-style hash truncation: keep the leftmost min(q_bits, digest_bits)
+    bits of the digest, then reduce mod q (one conditional subtract — always
+    sufficient since the truncated value < 2^q_bits < 2q).
+
+    Reference: ecdsa_common.c:398-413. Device op; returns canonical limbs.
+    """
+    if q_bits is None:
+        q_bits = q_ctx.bits
+    e = nn.be_words_to_limbs(words, words.shape[0] * 32, q_ctx.k)
+    if digest_bits > q_bits:
+        e = nn.rshift(e, digest_bits - q_bits)
+    return nn.mod_reduce_once(e, q_ctx)
+
+
+def random_scalars_mod_q(q_ctx: FpCtx, n: int, rng=None) -> np.ndarray:
+    """Host RNG -> n scalars in [1, q-1], as canonical limbs uint32[Kq, n].
+
+    Oversamples by 128 bits then reduces (the reference's nn_get_random_mod,
+    src/nn/nn_rand.c:92). `rng(nbytes)->bytes` defaults to os.urandom — the
+    platform RNG boundary (reference: external_deps/rand.c:76).
+    """
+    rng = rng or os.urandom
+    nbytes = (q_ctx.bits + 128) // 8
+    vals = []
+    for _ in range(n):
+        v = 0
+        while v == 0:
+            v = int.from_bytes(rng(nbytes), "big") % q_ctx.p_int
+        vals.append(v)
+    return nn.batch_to_limbs(vals, q_ctx.k)
+
+
+def scalars_from_ints(q_ctx: FpCtx, vals) -> np.ndarray:
+    return nn.batch_to_limbs([v % q_ctx.p_int for v in vals], q_ctx.k)
+
+
+def x_coord_mod_q(x_canonical, p_ctx: FpCtx, q_ctx: FpCtx):
+    """Canonical field x-coordinate -> x mod q (device).
+    General path: Montgomery-based wide reduction (handles any p/q ratio,
+    including cofactor > 1 curves). Reference: nn_mod in ecdsa_common.c:487.
+    """
+    # x < p < R_p; re-express in q_ctx width then reduce
+    kq = q_ctx.k
+    kx = x_canonical.shape[0]
+    if kx < 2 * kq:
+        padw = 2 * kq - kx
+        x_canonical = jnp.concatenate(
+            [x_canonical,
+             jnp.zeros((padw,) + x_canonical.shape[1:], jnp.uint32)], 0)
+    else:
+        x_canonical = x_canonical[: 2 * kq]
+    return nn.reduce_wide(x_canonical, q_ctx)
+
+
+# -- mod-q arithmetic on canonical scalars (relaxed internally) --------------
+
+def q_mul(a, b, q_ctx: FpCtx):
+    """a*b mod q on canonical (plain-domain) scalars -> canonical."""
+    am = nn.to_mont(a, q_ctx)
+    r = nn.mont_mul_relaxed(am, b, q_ctx)        # a*R * b / R = a*b
+    return nn.canonicalize(r, q_ctx)
+
+
+def q_inv(a, q_ctx: FpCtx):
+    """a^-1 mod q (Fermat, constant schedule) on canonical scalars.
+    x = aR; y = mont_pow(x, q-2) = a^(q-2) R; from_mont(y) = a^-1.
+    Returns 0 for a == 0. Reference: nn_modinv_fermat (nn_modinv.c:504)."""
+    am = nn.to_mont(a, q_ctx)
+    y = _mont_pow_relaxed(am, q_ctx.p_int - 2, q_ctx)
+    return nn.canonicalize(nn.mont_mul_relaxed(
+        y, _ones_like(y, q_ctx), q_ctx), q_ctx)
+
+
+def _ones_like(a, ctx):
+    one = jnp.asarray(nn.to_limbs(1, ctx.k))
+    return jnp.broadcast_to(one.reshape((ctx.k,) + (1,) * (a.ndim - 1)), a.shape)
+
+
+def _mont_pow_relaxed(a_mont, e: int, ctx: FpCtx):
+    """x^e keeping the Montgomery factor: in = xR, out = (x^e)R."""
+    assert e >= 1
+    nbits = e.bit_length()
+    bits = np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                    dtype=np.uint32)
+
+    def body(acc, bit):
+        acc = nn.mont_mul_relaxed(acc, acc, ctx)
+        acc_m = nn.mont_mul_relaxed(acc, a_mont, ctx)
+        return jnp.where(bit.astype(bool), acc_m, acc), None
+
+    acc, _ = jax.lax.scan(body, a_mont, jnp.asarray(bits[1:]))
+    return acc
+
+
+def q_add(a, b, q_ctx: FpCtx):
+    return nn.mod_add(a, b, q_ctx)
+
+
+def q_sub(a, b, q_ctx: FpCtx):
+    return nn.mod_sub(a, b, q_ctx)

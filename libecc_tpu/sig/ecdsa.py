@@ -1,0 +1,184 @@
+"""ECDSA + deterministic ECDSA (RFC 6979) — batched TPU implementation.
+
+Reference: src/sig/ecdsa_common.c (sign finalize :318-586, verify finalize
+:702-840, RFC 6979 nonce :48-170), ecdsa.c, decdsa.c. Differences by
+design (SURVEY §7): signing is a single batched fixed-schedule ladder over
+the whole lane batch; verification uses the public-input Straus double-
+scalar path; all per-op error returns become lane masks.
+
+Sign:   r = (kG).x mod q ; s = k^-1 (e + r d) mod q
+Verify: W = (e s^-1) G + (r s^-1) Y ; accept iff W.x mod q == r
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..curves.shortw import ShortWCurve, PrjPoint, to_affine_plain
+from ..curves import scalar_mul
+from ..hash.registry import get_hash
+from ..hash.hmac import Hmac
+from . import common
+
+
+# ---------------------------------------------------------------------------
+# Batched device cores (jit these; fixed shapes)
+# ---------------------------------------------------------------------------
+
+def sign_core(curve: ShortWCurve, d, e, k):
+    """Batched ECDSA sign. d, e, k: canonical uint32[Kq, N].
+    Returns (r, s, ok_mask) with r, s canonical limbs.
+
+    The nonce k comes from the caller (random, RFC 6979, or KAT-injected —
+    the reference threads the same way via the rand callback,
+    ec_self_tests_core.h:34)."""
+    q_ctx = curve.q_ctx
+    n = d.shape[-1]
+    G = curve.generator(batch_shape=(n,))
+    W = scalar_mul.ladder_mul(curve, k, G)           # fixed schedule
+    wx, _, inf = to_affine_plain(curve, W)
+    r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    kinv = common.q_inv(k, q_ctx)
+    rd = common.q_mul(r, d, q_ctx)
+    s = common.q_mul(kinv, common.q_add(e, rd, q_ctx), q_ctx)
+    ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
+    return r, s, ok
+
+
+def verify_core(curve: ShortWCurve, pub: PrjPoint, e, r, s):
+    """Batched ECDSA verify. e, r, s canonical uint32[Kq, N]; pub: points.
+    Returns accept mask. Public-input path: Straus uG+vY (no CT needed —
+    verification inputs are public; reference uses the hardened ladder
+    even here, a large throughput headroom we exploit)."""
+    q_ctx = curve.q_ctx
+    n = r.shape[-1]
+    G = curve.generator(batch_shape=(n,))
+    q_arr = jnp.asarray(nn.to_limbs(curve.q, q_ctx.k)).reshape(
+        (q_ctx.k,) + (1,) * (r.ndim - 1))
+    in_range = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) \
+        & nn.lt_mask(r, q_arr) & nn.lt_mask(s, q_arr)
+    sinv = common.q_inv(s, q_ctx)
+    u = common.q_mul(e, sinv, q_ctx)
+    v = common.q_mul(r, sinv, q_ctx)
+    W = scalar_mul.straus_double_mul_public(curve, u, G, v, pub)
+    wx, _, inf = to_affine_plain(curve, W)
+    wx_mod_q = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    return in_range & (~inf) & nn.eq_mask(wx_mod_q, r)
+
+
+# ---------------------------------------------------------------------------
+# RFC 6979 deterministic nonce (host, per message — HMAC chains are
+# sequential by construction). Reference: __ecdsa_rfc6979_nonce
+# (ecdsa_common.c:48-170).
+# ---------------------------------------------------------------------------
+
+def _bits2int(b: bytes, qbits: int) -> int:
+    v = int.from_bytes(b, "big")
+    blen = len(b) * 8
+    if blen > qbits:
+        v >>= blen - qbits
+    return v
+
+
+def _int2octets(x: int, q: int) -> bytes:
+    rlen = (q.bit_length() + 7) // 8
+    return x.to_bytes(rlen, "big")
+
+
+def rfc6979_nonce(h1: bytes, q: int, x: int, hash_name) -> int:
+    """Deterministic k for message digest h1, order q, private key x."""
+    qbits = q.bit_length()
+    hsize = get_hash(hash_name).digest_size
+    V = b"\x01" * hsize
+    K = b"\x00" * hsize
+    bh = _bits2int(h1, qbits) % q
+    seed = _int2octets(x, q) + _int2octets(bh, q)
+    hm = Hmac(K, hash_name); hm.update(V + b"\x00" + seed); K = hm.digest()
+    hm = Hmac(K, hash_name); hm.update(V); V = hm.digest()
+    hm = Hmac(K, hash_name); hm.update(V + b"\x01" + seed); K = hm.digest()
+    hm = Hmac(K, hash_name); hm.update(V); V = hm.digest()
+    while True:
+        T = b""
+        while len(T) * 8 < qbits:
+            hm = Hmac(K, hash_name); hm.update(V); V = hm.digest()
+            T += V
+        k = _bits2int(T, qbits)
+        if 0 < k < q:
+            return k
+        hm = Hmac(K, hash_name); hm.update(V + b"\x00"); K = hm.digest()
+        hm = Hmac(K, hash_name); hm.update(V); V = hm.digest()
+
+
+# ---------------------------------------------------------------------------
+# User-facing batched API (host msgs -> device batch -> host sigs)
+# ---------------------------------------------------------------------------
+
+def _jit_sign(curve):
+    return jax.jit(lambda d, e, k: sign_core(curve, d, e, k))
+
+
+def _jit_verify(curve):
+    return jax.jit(lambda px, py, pz, e, r, s: verify_core(
+        curve, PrjPoint(px, py, pz), e, r, s))
+
+
+_SIGN_CACHE: dict = {}
+_VERIFY_CACHE: dict = {}
+
+
+def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
+               nonces=None, deterministic=False):
+    """Sign N messages with N keys. Returns (sigs list[bytes r||s], ok).
+    nonces: optional fixed list[int] (KAT injection)."""
+    curve, q_ctx = keys.curve, keys.curve.q_ctx
+    alg = get_hash(hash_name)
+    digs = [alg.hash(m) for m in msgs]
+    words = common.digests_to_words(digs)
+    e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
+    if nonces is None:
+        if deterministic:
+            privs = keys.priv_ints()
+            nonces = [rfc6979_nonce(h1, curve.q, x, hash_name)
+                      for h1, x in zip(digs, privs)]
+            k = common.scalars_from_ints(q_ctx, nonces)
+        else:
+            k = common.random_scalars_mod_q(q_ctx, keys.n)
+    else:
+        k = common.scalars_from_ints(q_ctx, nonces)
+    key = (curve.name, "sign")
+    if key not in _SIGN_CACHE:
+        _SIGN_CACHE[key] = _jit_sign(curve)
+    r, s, ok = _SIGN_CACHE[key](keys.priv, e, jnp.asarray(k))
+    nb = (curve.q.bit_length() + 7) // 8
+    rs = nn.batch_from_limbs(np.asarray(r))
+    ss = nn.batch_from_limbs(np.asarray(s))
+    sigs = [int(ri).to_bytes(nb, "big") + int(si).to_bytes(nb, "big")
+            for ri, si in zip(rs, ss)]
+    return sigs, np.asarray(ok)
+
+
+def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
+                 hash_name="SHA256"):
+    """Verify N signatures (r||s raw format). Returns accept mask."""
+    curve, q_ctx = keys.curve, keys.curve.q_ctx
+    alg = get_hash(hash_name)
+    words = common.digests_to_words([alg.hash(m) for m in msgs])
+    e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
+    nb = (curve.q.bit_length() + 7) // 8
+    rs, ss = [], []
+    for sg in sigs:
+        if len(sg) != 2 * nb:
+            raise ValueError("bad signature length")
+        rs.append(int.from_bytes(sg[:nb], "big"))
+        ss.append(int.from_bytes(sg[nb:], "big"))
+    r = jnp.asarray(nn.batch_to_limbs([v % (1 << (q_ctx.k * nn.LIMB_BITS))
+                                       for v in rs], q_ctx.k))
+    s = jnp.asarray(nn.batch_to_limbs(ss, q_ctx.k))
+    key = (curve.name, "verify")
+    if key not in _VERIFY_CACHE:
+        _VERIFY_CACHE[key] = _jit_verify(curve)
+    return np.asarray(_VERIFY_CACHE[key](keys.pub.x, keys.pub.y, keys.pub.z,
+                                         e, r, s))

@@ -1,0 +1,102 @@
+"""EC keys: batched key material + generation + import/export.
+
+Reference: src/sig/ec_key.c / ec_key.h — ec_priv_key{x}, ec_pub_key{y},
+ec_key_pair_gen (ec_key.h:188), raw and structured (3-byte header)
+import/export (ec_key.h:99-168). TPU-native: a KeyBatch holds N keys as
+limb tensors / point batches, so key generation is one batched ladder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..curves.shortw import ShortWCurve, PrjPoint, to_affine
+from ..curves import scalar_mul
+from .common import random_scalars_mod_q, scalars_from_ints
+
+
+@dataclass
+class KeyBatch:
+    """N keys for one (curve, alg). priv: uint32[Kq, N] canonical scalars
+    (None for public-only); pub: PrjPoint batch (device, Montgomery coords).
+    """
+    curve: ShortWCurve
+    alg: str
+    n: int
+    priv: jnp.ndarray | None = None
+    pub: PrjPoint | None = None
+
+    def pub_affine_ints(self):
+        x, y, inf = to_affine(self.curve, self.pub)
+        return (self.curve.fp_ctx.to_ints(x), self.curve.fp_ctx.to_ints(y),
+                np.asarray(inf))
+
+    def priv_ints(self):
+        return nn.batch_from_limbs(np.asarray(self.priv))
+
+
+def generic_init_pub(curve: ShortWCurve, priv) -> PrjPoint:
+    """Y = x*G via the constant-schedule ladder (reference:
+    init_pubkey_from_privkey -> prj_pt_mul_blind, ecdsa_common.c:172)."""
+    n = priv.shape[-1]
+    G = curve.generator(batch_shape=(n,))
+    return scalar_mul.ladder_mul(curve, priv, G)
+
+
+def keygen(curve: ShortWCurve, alg: str, n: int, rng=None,
+           priv_ints=None, init_pub=None) -> KeyBatch:
+    """Generate N keypairs. priv_ints injects fixed keys (tests/KATs) —
+    the analog of the reference's test-vector rand callback injection
+    (ec_self_tests_core.h:34)."""
+    if priv_ints is not None:
+        priv = scalars_from_ints(curve.q_ctx, priv_ints)
+        n = len(priv_ints)
+    else:
+        priv = random_scalars_mod_q(curve.q_ctx, n, rng)
+    priv = jnp.asarray(priv)
+    fn = init_pub or generic_init_pub
+    pub = fn(curve, priv)
+    return KeyBatch(curve=curve, alg=alg, n=n, priv=priv, pub=pub)
+
+
+def pubkey_batch_from_affine_ints(curve: ShortWCurve, alg: str, xs, ys) -> KeyBatch:
+    pub = curve.point_from_affine_ints(xs, ys)
+    return KeyBatch(curve=curve, alg=alg, n=len(xs), priv=None, pub=pub)
+
+
+# -- raw serialization (reference: ec_priv_key_export_to_buf etc.) -----------
+
+def export_priv_raw(kb: KeyBatch) -> list[bytes]:
+    nb = (kb.curve.q.bit_length() + 7) // 8
+    return [int(v).to_bytes(nb, "big") for v in kb.priv_ints()]
+
+
+def export_pub_raw(kb: KeyBatch) -> list[bytes]:
+    """Uncompressed affine: X || Y, each p-size bytes (reference:
+    ec_pub_key_export_to_buf -> prj_pt export, prj_pt.c:536)."""
+    nb = (kb.curve.fp_ctx.bits + 7) // 8
+    xs, ys, inf = kb.pub_affine_ints()
+    return [int(x).to_bytes(nb, "big") + int(y).to_bytes(nb, "big")
+            for x, y in zip(xs, ys)]
+
+
+def import_pub_raw(curve: ShortWCurve, alg: str, bufs: list[bytes]) -> KeyBatch:
+    nb = (curve.fp_ctx.bits + 7) // 8
+    xs, ys = [], []
+    for b in bufs:
+        if len(b) != 2 * nb:
+            raise ValueError("bad public key length")
+        xs.append(int.from_bytes(b[:nb], "big"))
+        ys.append(int.from_bytes(b[nb:], "big"))
+    return pubkey_batch_from_affine_ints(curve, alg, xs, ys)
+
+
+def import_priv_raw(curve: ShortWCurve, alg: str, bufs: list[bytes],
+                    init_pub=None) -> KeyBatch:
+    vals = [int.from_bytes(b, "big") for b in bufs]
+    return keygen(curve, alg, len(vals), priv_ints=vals, init_pub=init_pub)

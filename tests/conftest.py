@@ -1,0 +1,23 @@
+"""Test configuration: force CPU platform with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (the driver
+separately dry-runs multi-chip via __graft_entry__.dryrun_multichip)."""
+
+import os
+
+# Must run before jax import anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    r = random.Random(0xECC)
+    return r
