@@ -1,0 +1,81 @@
+"""Benchmark: batched P-256 ECDSA verification throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: libecc's best published verify rate, 355 ops/s/core
+(Xeon E3-1535M, BrainpoolP256R1, README_original.md:628 / BASELINE.md) —
+the reference protocol is 300 sign/verify ops over short messages
+(ec_self_tests_core.c:1571).
+
+Pipeline timed here (per signature): SHA-256 hash-to-scalar on device +
+s^-1 (Fermat) + Straus uG+vY double-scalar + affine + x mod q == r.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("BENCH_BATCH", "2048"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    import jax
+    import jax.numpy as jnp
+    from libecc_tpu.curves import params
+    from libecc_tpu.sig import ecdsa, keys as K
+    from libecc_tpu.sig.common import digests_to_words, e_from_digest_bits
+    from libecc_tpu.curves.shortw import PrjPoint
+    from libecc_tpu.hash.registry import get_hash
+    from libecc_tpu.nn import core as nn
+    import hashlib
+
+    c = params.get_curve("P-256")
+    q_ctx = c.q_ctx
+    rng = np.random.RandomState(42)
+
+    # keys/messages/sigs on host (sign once, verify is the metric)
+    privs = [int.from_bytes(rng.bytes(32), "big") % c.q or 1 for _ in range(n)]
+    kb = K.keygen(c, "ECDSA", n, priv_ints=privs)
+    msgs = [rng.bytes(32) for _ in range(n)]
+    nonces = [int.from_bytes(rng.bytes(32), "big") % c.q or 1 for _ in range(n)]
+    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256", nonces=nonces)
+    assert ok.all()
+
+    sha = get_hash("SHA256")
+    blocks = jnp.asarray(sha.pack_fn(msgs))            # (1, 16, N) device
+    r = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[:32], "big") for s in sigs], q_ctx.k))
+    s = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[32:], "big") for s in sigs], q_ctx.k))
+
+    @jax.jit
+    def verify_pipeline(blocks, px, py, pz, r, s):
+        words = sha.device_fn(blocks)                  # device hashing
+        e = e_from_digest_bits(words, 256, q_ctx)
+        return ecdsa.verify_core(c, PrjPoint(px, py, pz), e, r, s)
+
+    args = (blocks, kb.pub.x, kb.pub.y, kb.pub.z, r, s)
+    acc = verify_pipeline(*args)                       # compile + warm
+    acc.block_until_ready()
+    assert bool(np.asarray(acc).all()), "verification failed in bench"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = verify_pipeline(*args)
+    acc.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    rate = n / dt
+
+    baseline = 355.0  # libecc verify ops/s/core (BASELINE.md)
+    print(json.dumps({
+        "metric": "p256_ecdsa_verify_throughput",
+        "value": round(rate, 1),
+        "unit": "verifies/sec/chip",
+        "vs_baseline": round(rate / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,16 +58,71 @@ def from_limbs(a) -> int:
     return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
 
 
+def bytes_be_to_limbs_np(bufs: list[bytes], k: int) -> np.ndarray:
+    """Vectorized host conversion: equal-length big-endian byte strings ->
+    np.uint32[k, N] limbs. numpy mirror of be_words_to_limbs."""
+    nb = len(bufs[0])
+    pad = (-nb) % 4
+    nw = (nb + pad) // 4
+    joined = b"".join((b"\x00" * pad) + b for b in bufs)
+    words = np.frombuffer(joined, dtype=">u4").reshape(len(bufs), nw).T
+    words = words.astype(np.uint32)
+    out = np.zeros((k, len(bufs)), np.uint32)
+    total_bits = nw * 32
+    for j in range(k):
+        lo_bit = LIMB_BITS * j
+        if lo_bit >= total_bits:
+            break
+        w_lo = nw - 1 - (lo_bit // 32)
+        sh = lo_bit % 32
+        v = words[w_lo] >> np.uint32(sh)
+        take = 32 - sh
+        if take < LIMB_BITS and w_lo - 1 >= 0:
+            v = v | (words[w_lo - 1] << np.uint32(take))
+        out[j] = v & LIMB_MASK
+    return out
+
+
+def limbs_to_bytes_be_np(a, nbytes: int) -> list[bytes]:
+    """Vectorized host conversion: np.uint32[K, N] canonical limbs ->
+    N big-endian byte strings of length nbytes."""
+    a = np.asarray(a).astype(np.uint32)
+    k, n = a.shape
+    pad = (-nbytes) % 4
+    nw = (nbytes + pad) // 4
+    words = np.zeros((nw, n), np.uint32)
+    for i in range(nw):
+        lo_bit = 32 * i                                 # from LSB
+        w = np.zeros(n, np.uint64)
+        # bits [lo_bit, lo_bit+32) come from up to 3 limbs
+        j0 = lo_bit // LIMB_BITS
+        for j in range(j0, min(k, (lo_bit + 32 + LIMB_BITS - 1) // LIMB_BITS + 1)):
+            shift = j * LIMB_BITS - lo_bit
+            if shift >= 32:
+                break
+            if shift >= 0:
+                w |= a[j].astype(np.uint64) << np.uint64(shift)
+            else:
+                w |= a[j].astype(np.uint64) >> np.uint64(-shift)
+        words[nw - 1 - i] = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    be = words.T.astype(">u4").tobytes()
+    row = 4 * nw
+    return [be[i * row + pad: (i + 1) * row] for i in range(n)]
+
+
 def batch_to_limbs(xs, k: int) -> np.ndarray:
-    """list[int] -> np.uint32[k, N]."""
-    return np.stack([to_limbs(x, k) for x in xs], axis=-1)
+    """list[int] -> np.uint32[k, N] (vectorized via fixed-width bytes)."""
+    nb = (k * LIMB_BITS + 7) // 8
+    bufs = [int(x).to_bytes(nb, "big") for x in xs]
+    return bytes_be_to_limbs_np(bufs, k)
 
 
 def batch_from_limbs(a) -> list:
-    """np/jnp uint32[K, N] -> list[int]."""
+    """np/jnp uint32[K, N] -> list[int] (vectorized)."""
     a = np.asarray(a)
     assert a.ndim == 2
-    return [from_limbs(a[:, j]) for j in range(a.shape[1])]
+    nb = (a.shape[0] * LIMB_BITS + 7) // 8
+    return [int.from_bytes(b, "big") for b in limbs_to_bytes_be_np(a, nb)]
 
 
 def limbs_to_bytes_be(x: int, nbytes: int) -> bytes:
