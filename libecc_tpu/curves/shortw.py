@@ -81,6 +81,19 @@ class ShortWCurve:
         one = self.fp_ctx.const(1, batch_shape=batch_shape)
         return PrjPoint(z0, one, jnp.zeros_like(z0))
 
+    # generic group-op interface (see curves/group.py)
+    def padd(self, P, Q):
+        return point_add(self, P, Q)
+
+    def pdbl(self, P):
+        return point_dbl(self, P)
+
+    def pinf(self, like=None, batch_shape=()):
+        return self.infinity(like=like, batch_shape=batch_shape)
+
+    def scalar_bits(self) -> int:
+        return self.q.bit_length()
+
 
 def point_select(cond, a: PrjPoint, b: PrjPoint) -> PrjPoint:
     """Lanewise cond ? a : b."""

@@ -192,6 +192,16 @@ def sqrt(a, ctx: FpCtx):
         ok = eq_mask(sqr(r, ctx), a, ctx)
         return r, ok
 
+    if p % 8 == 5:
+        # Atkin: r = a^((p+3)/8); fix by sqrt(-1) = 2^((p-1)/4) if needed
+        r = pow_static(a, (p + 3) // 8, ctx)
+        sqrtm1 = ctx.const(pow(2, (p - 1) // 4, p), like=a)
+        fix = ~eq_mask(sqr(r, ctx), a, ctx)
+        r = select(fix, mul(r, sqrtm1, ctx), r)
+        ok = eq_mask(sqr(r, ctx), a, ctx)
+        z0 = is_zero_mask(a, ctx)
+        return select(z0, ctx.zero(like=a), r), ok | z0
+
     # general Tonelli-Shanks with fixed bound
     s, q, z = ctx.ts_s, ctx.ts_q, ctx.ts_z
     c = ctx.const(pow(z, q, p), like=a)           # z^q, Mont form

@@ -1,0 +1,115 @@
+"""Ed25519 (RFC 8032) and X25519/X448 (RFC 7748) known-answer tests +
+roundtrips and negatives. Reference vectors: same RFC sources as the
+reference's test headers (src/tests/x25519_test_vectors.h etc.)."""
+
+import numpy as np
+import pytest
+
+from libecc_tpu.curves import edwards as edc
+from libecc_tpu.sig import eddsa
+from libecc_tpu.ecdh.x25519 import x25519, x448, x25519_batch
+
+
+@pytest.fixture(scope="module")
+def ed25519():
+    return edc.get_edwards_curve("ED25519")
+
+
+RFC8032 = [
+    # (seed, pub, msg, sig) — RFC 8032 §7.1 vectors 1-3
+    ("9d61b19deffd5a60ba844af492ec2cc44449c5697b326919703bac031cae7f60",
+     "d75a980182b10ab7d54bfed3c964073a0ee172f3daa62325af021a68f707511a",
+     "",
+     "e5564300c360ac729086e2cc806e828a84877f1eb8e5d974d873e065224901555fb8821590a33bacc61e39701cf9b46bd25bf5f0595bbe24655141438e7a100b"),
+    ("4ccd089b28ff96da9db6c346ec114e0f5b8a319f35aba624da8cf6ed4fb8a6fb",
+     "3d4017c3e843895a92b70aa74d1b7ebc9c982ccf2ec4968cc0cd55f12af4660c",
+     "72",
+     "92a009a9f0d4cab8720e820b5f642540a2b27b5416503f8fb3762223ebdb69da085ac1e43e15996e458f3613d0f11d8c387b2eaeb4302aeeb00d291612bb0c00"),
+    ("c5aa8df43f9f837bedb7442f31dcb7b166d38535076f094b85ce3a2e0b4458f7",
+     "fc51cd8e6218a1a38da47ed00230f0580816ed13ba3303ac5deb911548908025",
+     "af82",
+     "6291d657deec24024827e69c3abe01a30ce548a284743a445e3680d7db5ac3ac18ff9b538d16f290ae67f760984dc6594a7c15e9716ed28dc027beceea1ec40a"),
+]
+
+
+def test_ed25519_rfc8032_kats(ed25519):
+    seeds = [bytes.fromhex(s) for s, _, _, _ in RFC8032]
+    pubs = [bytes.fromhex(p) for _, p, _, _ in RFC8032]
+    msgs = [bytes.fromhex(m) for _, _, m, _ in RFC8032]
+    sigs_exp = [bytes.fromhex(s) for _, _, _, s in RFC8032]
+    kb = eddsa.EdDSAKeyBatch(ed25519, seeds)
+    assert kb.pub_bytes == pubs
+    sigs = eddsa.sign_batch(kb, msgs)
+    assert sigs == sigs_exp
+    assert eddsa.verify_batch(ed25519, pubs, msgs, sigs).all()
+
+
+def test_ed25519_negatives(ed25519):
+    seeds = [bytes.fromhex(RFC8032[0][0])]
+    kb = eddsa.EdDSAKeyBatch(ed25519, seeds)
+    sigs = eddsa.sign_batch(kb, [b"hello"])
+    assert eddsa.verify_batch(ed25519, kb.pub_bytes, [b"hello"], sigs).all()
+    bad_sig = bytes([sigs[0][0] ^ 1]) + sigs[0][1:]
+    assert not eddsa.verify_batch(ed25519, kb.pub_bytes, [b"hello"], [bad_sig]).any()
+    assert not eddsa.verify_batch(ed25519, kb.pub_bytes, [b"jello"], sigs).any()
+    # S >= q must be rejected (malleability guard)
+    r_part = sigs[0][:32]
+    s_int = int.from_bytes(sigs[0][32:], "little")
+    s_mall = (s_int + ed25519.q).to_bytes(32, "little")
+    assert not eddsa.verify_batch(
+        ed25519, kb.pub_bytes, [b"hello"], [r_part + s_mall]).any()
+
+
+def test_ed25519ph(ed25519):
+    seed = bytes.fromhex("833fe62409237b9d62ec77587520911e9a759cec1d19755b7da901b96dca3d42")
+    pub = bytes.fromhex("ec172b93ad5e563bf4932c70e1245034c35467ef2efd4d64ebf819683467e2bf")
+    sig = bytes.fromhex("98a70222f0b8121aa9d30f813d683f809e462b469c7ff87639499bb94e6dae41"
+                        "31f85042463c2a355a2003d062adf5aaa10b8c61e636062aaad11c2a26083406")
+    kb = eddsa.EdDSAKeyBatch(ed25519, [seed])
+    assert kb.pub_bytes[0] == pub
+    got = eddsa.sign_batch(kb, [b"abc"], variant="ed25519ph")
+    assert got[0] == sig
+    assert eddsa.verify_batch(ed25519, [pub], [b"abc"], got,
+                              variant="ed25519ph").all()
+
+
+def test_x25519_rfc7748():
+    k1 = bytes.fromhex("a546e36bf0527c9d3b16154b82465edd62144c0ac1fc5a18506a2244ba449ac4")
+    u1 = bytes.fromhex("e6db6867583030db3594c1a424b15f7c726624ec26b3353b10a903a6d0ab1c4c")
+    o1 = bytes.fromhex("c3da55379de9c6908e94ea4df28d084f32eccf03491c71f754b4075577a28552")
+    assert x25519(k1, u1) == o1
+    k2 = bytes.fromhex("4b66e9d4d1b4673c5ad22691957d6af5c11b6421e0ea01d42ca4169e7918ba0d")
+    u2 = bytes.fromhex("e5210f12786811d3f4b7959d0538ae2c31dbe7106fc03c3efc4cd549c715a493")
+    o2 = bytes.fromhex("95cbde9476e8907d7aade45cb4b873f88b595a68799fa152e6f8f7647aac7957")
+    assert x25519(k2, u2) == o2
+
+
+def test_x25519_dh_property():
+    import os as _os
+    base = (9).to_bytes(32, "little")
+    a, b = _os.urandom(32), _os.urandom(32)
+    pa, pb = x25519(a, base), x25519(b, base)
+    assert x25519(a, pb) == x25519(b, pa)
+
+
+def test_x448_rfc7748():
+    k = bytes.fromhex("3d262fddf9ec8e88495266fea19a34d28882acef045104d0d1aae121"
+                      "700a779c984c24f8cdd78fbff44943eba368f54b29259a4f1c600ad3")
+    u = bytes.fromhex("06fce640fa3487bfda5f6cf2d5263f8aad88334cbd07437f020f08f9"
+                      "814dc031ddbdc38c19c6da2583fa5429db94ada18aa7a7fb4ef8a086")
+    o = bytes.fromhex("ce3e4ff95a60dc6697da1db1d85e6afbdf79b50a2412d7546d5f239f"
+                      "e14fbaadeb445fc66a01b0779d98223961111e21766282f73dd96b6f")
+    assert x448(k, u) == o
+
+
+def test_ecccdh_roundtrip():
+    from libecc_tpu.curves import params
+    from libecc_tpu.ecdh import ecccdh
+    c = params.get_curve("P-256")
+    a = ecccdh.keygen(c, 2, priv_ints=[1234567, 7654321])
+    b = ecccdh.keygen(c, 2, priv_ints=[111, 222])
+    sa, oka = ecccdh.derive_shared_secret(a, ecccdh.export_pub(b))
+    sb, okb = ecccdh.derive_shared_secret(b, ecccdh.export_pub(a))
+    assert oka.all() and okb.all()
+    assert sa == sb
+    assert sa[0] != sa[1]

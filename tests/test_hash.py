@@ -1,0 +1,68 @@
+"""Hash layer tests: host streaming + batched device kernels vs hashlib."""
+
+import hashlib
+import hmac as pyhmac
+
+import numpy as np
+import jax
+import pytest
+
+from libecc_tpu.hash.registry import get_hash, list_hashes
+from libecc_tpu.hash.hmac import hmac, Hmac
+
+MSGS = [b"", b"abc", b"a" * 55, b"a" * 56, b"a" * 64, b"a" * 135,
+        b"hello world" * 20, bytes(range(200))]
+
+HASHLIB_MAP = {
+    "SHA224": "sha224", "SHA256": "sha256", "SHA384": "sha384",
+    "SHA512": "sha512", "SHA512_224": "sha512_224", "SHA512_256": "sha512_256",
+    "SHA3_224": "sha3_224", "SHA3_256": "sha3_256", "SHA3_384": "sha3_384",
+    "SHA3_512": "sha3_512",
+}
+
+
+@pytest.mark.parametrize("name", sorted(HASHLIB_MAP))
+def test_host_vs_hashlib(name):
+    alg = get_hash(name)
+    ref = getattr(hashlib, HASHLIB_MAP[name], None) or \
+        (lambda b: hashlib.new(HASHLIB_MAP[name], b))
+    for m in MSGS:
+        assert alg.hash(m) == ref(m).digest(), (name, len(m))
+    # streaming with odd chunk sizes
+    st = alg.new()
+    big = bytes(range(256)) * 3
+    for i in range(0, len(big), 7):
+        st.update(big[i:i + 7])
+    assert st.digest() == ref(big).digest()
+
+
+def test_shake():
+    from libecc_tpu.hash.sha3 import shake128, shake256
+    assert shake256(b"abc", 64) == hashlib.shake_256(b"abc").digest(64)
+    assert shake256(b"q" * 300, 114) == hashlib.shake_256(b"q" * 300).digest(114)
+    assert shake128(b"abc", 32) == hashlib.shake_128(b"abc").digest(32)
+
+
+@pytest.mark.parametrize("name", sorted(HASHLIB_MAP) + ["SHAKE128", "SHAKE256"])
+def test_device_kernels(name):
+    alg = get_hash(name)
+    if alg.device_fn is None:
+        pytest.skip("no device kernel")
+    batch = [b"abc", b"", b"y" * 50, b"z" * (alg.block_size // 2)]
+    blocks = alg.pack_fn(batch)
+    out = np.asarray(jax.jit(alg.device_fn)(blocks))
+    for j, m in enumerate(batch):
+        got = b"".join(int(w).to_bytes(4, "big")
+                       for w in out[:, j])[: alg.digest_size]
+        assert got == alg.hash(m), (name, j)
+
+
+def test_hmac():
+    for key in [b"k" * 17, b"K" * 200, b""]:
+        for hn, ref in [("SHA256", hashlib.sha256), ("SHA512", hashlib.sha512)]:
+            assert hmac(key, b"message", hn) == \
+                pyhmac.new(key, b"message", ref).digest()
+    st = Hmac(b"key", "SHA256")
+    st.update(b"mes")
+    st.update(b"sage")
+    assert st.digest() == pyhmac.new(b"key", b"message", hashlib.sha256).digest()
