@@ -31,16 +31,19 @@ def _canon(name: str) -> str:
 
 
 def register_curve(name: str, p: int, a: int, b: int, gx: int, gy: int,
-                   q: int, h: int = 1, aliases: tuple = (), oid: str = ""):
+                   q: int, h: int = 1, aliases: tuple = (), oid: str = "",
+                   **transfer):
     """Register a short-Weierstrass curve (reference: ec_maps[] entry +
-    user-curve path of expand_libecc.py). Validates gy^2 = gx^3+a gx+b."""
+    user-curve path of expand_libecc.py). Validates gy^2 = gx^3+a gx+b.
+    transfer: optional alpha/gamma_montgomery, alpha_edwards coefficients
+    (reference: ec_params_external.h transfer constants)."""
     a_, b_ = a % p, b % p
     if (gy * gy - (gx * gx * gx + a_ * gx + b_)) % p != 0:
         raise ValueError(f"curve {name}: generator not on curve")
     if p <= 3 or q <= 1:
         raise ValueError(f"curve {name}: bad p/q")
     _CURVES[_canon(name)] = dict(name=name, p=p, a=a_, b=b_, gx=gx, gy=gy,
-                                 q=q, h=h, oid=oid)
+                                 q=q, h=h, oid=oid, **transfer)
     for al in aliases:
         _ALIASES[_canon(al)] = _canon(name)
     get_curve.cache_clear()
@@ -55,8 +58,16 @@ def get_curve(name: str) -> ShortWCurve:
     if key not in _CURVES:
         raise KeyError(f"unknown curve {name!r}; known: {sorted(_CURVES)}")
     d = _CURVES[key]
-    return ShortWCurve(name=d["name"], fp_ctx=FpCtx(d["p"]), a=d["a"], b=d["b"],
-                       gx=d["gx"], gy=d["gy"], q=d["q"], h=d["h"])
+    c = ShortWCurve(name=d["name"], fp_ctx=FpCtx(d["p"]), a=d["a"], b=d["b"],
+                    gx=d["gx"], gy=d["gy"], q=d["q"], h=d["h"])
+    # Montgomery/Edwards transfer coefficients (reference:
+    # ec_params_external.h alpha/gamma constants; used by the curve-model
+    # mapping layer and X25519/EdDSA cross-checks).
+    c.oid = d.get("oid", "")
+    c.alpha_montgomery = d.get("alpha_montgomery", 0)
+    c.gamma_montgomery = d.get("gamma_montgomery", 0)
+    c.alpha_edwards = d.get("alpha_edwards", 0)
+    return c
 
 
 def list_curves():
@@ -64,29 +75,27 @@ def list_curves():
 
 
 # ---------------------------------------------------------------------------
-# Built-in curves (reference inventory: src/curves/known/ — 47 headers).
-# Constants are public standard data (SEC2, FIPS 186-4, RFC 5639, ...).
+# Built-in curves: the reference's full known-curve inventory
+# (src/curves/known/ — 45 parameter sets), extracted to curves_data.py by
+# scripts/extract_curves.py. Constants are public standard data (SEC2,
+# FIPS 186-4, RFC 5639, GOST R 34.10, SM2, STB 34.101.45, FRP256V1,
+# RFC 7748 short-Weierstrass transports).
 # ---------------------------------------------------------------------------
 
-register_curve(
-    "SECP256R1",
-    p=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
-    a=-3,
-    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
-    gx=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
-    gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
-    q=0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
-    h=1,
-    aliases=("P-256", "P256", "prime256v1", "NIST-P256"),
-)
+_COMMON_ALIASES = {
+    "SECP256R1": ("P-256", "P256", "prime256v1", "NIST-P256"),
+    "SECP384R1": ("P-384", "P384", "NIST-P384"),
+    "SECP521R1": ("P-521", "P521", "NIST-P521"),
+    "SECP224R1": ("P-224", "P224", "NIST-P224"),
+    "SECP192R1": ("P-192", "P192", "NIST-P192"),
+    "SM2P256V1": ("SM2", "SM2-P256"),
+}
 
-register_curve(
-    "SECP256K1",
-    p=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
-    a=0,
-    b=7,
-    gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
-    gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
-    q=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
-    h=1,
-)
+
+def _register_builtin():
+    from .known.curves_data import CURVES
+    for name, d in CURVES.items():
+        register_curve(name, aliases=_COMMON_ALIASES.get(name, ()), **d)
+
+
+_register_builtin()
