@@ -1,0 +1,80 @@
+"""EC-FSDSA ("full Schnorr", ISO 14888-3) — batched TPU implementation.
+
+Reference: src/sig/ecfsdsa.c. Public key Y = xG. This is one of the three
+schemes with batch verification in the reference (ecfsdsa.c:842); here
+batch verify IS the native mode.
+
+Sign:   W = kG ; r = FE2OS(Wx) || FE2OS(Wy)  (2*p_len bytes, raw);
+        e = OS2I(H(r || m)) mod q ; s = (k + e*x) mod q ; sig = r || s
+Verify: parse (Rx, Ry) from r, must be < p ;
+        e = -(OS2I(H(r || m))) mod q ; W' = sG + eY ; accept iff W' == R
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..curves.shortw import ShortWCurve
+from ..hash.registry import get_hash
+from . import wcore, common
+from .keys import KeyBatch
+
+
+def siglen(curve: ShortWCurve, hash_name=None) -> int:
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    return 2 * p_len + (curve.q.bit_length() + 7) // 8
+
+
+def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
+               adata=None):
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
+    alg = get_hash(hash_name)
+    n = len(msgs)
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    k_dev, _ = wcore.nonces_for(curve, n, nonces)
+    wx, wy, inf = wcore.kg_affine(curve, k_dev)
+    wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
+    rs = [int(wx_i[i]).to_bytes(p_len, "big")
+          + int(wy_i[i]).to_bytes(p_len, "big") for i in range(n)]
+    e = wcore.scalars_dev(
+        q_ctx, [int.from_bytes(alg.hash(rs[i] + msgs[i]), "big") % q
+                for i in range(n)])
+    s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv, q_ctx),
+                     q_ctx)
+    nb = (q.bit_length() + 7) // 8
+    ss = wcore.scalars_host(s)
+    sigs = [rs[i] + ss[i].to_bytes(nb, "big") for i in range(n)]
+    return sigs, ~np.asarray(inf)
+
+
+def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
+    p = curve.fp_ctx.p_int
+    alg = get_hash(hash_name)
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    nb = (q.bit_length() + 7) // 8
+    us, vs, pre_ok, rx_l, ry_l = [], [], [], [], []
+    for m, sg in zip(msgs, sigs):
+        ok = len(sg) == 2 * p_len + nb
+        r = sg[:2 * p_len] if ok else b"\x00" * (2 * p_len)
+        s = int.from_bytes(sg[2 * p_len:], "big") if ok else 0
+        rx = int.from_bytes(r[:p_len], "big")
+        ry = int.from_bytes(r[p_len:], "big")
+        ok = ok and 0 < s < q and rx < p and ry < p
+        e = (-(int.from_bytes(alg.hash(r + m), "big") % q)) % q
+        us.append(s)
+        vs.append(e)
+        rx_l.append(rx % p)
+        ry_l.append(ry % p)
+        pre_ok.append(ok)
+    u = wcore.scalars_dev(q_ctx, us)
+    v = wcore.scalars_dev(q_ctx, vs)
+    wx, wy, inf = wcore.straus_affine(curve, u, v, keys.pub)
+    wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
+    inf = np.asarray(inf)
+    out = [pre_ok[i] and not inf[i]
+           and wx_i[i] == rx_l[i] and wy_i[i] == ry_l[i]
+           for i in range(len(sigs))]
+    return np.array(out)

@@ -1,0 +1,77 @@
+"""EC-RDSA (Russian GOST R 34.10-2012) — batched TPU implementation.
+
+Reference: src/sig/ecrdsa.c (default non-ISO14888-3 mode: the digest is
+byte-reversed before integer import, ecrdsa.c:307). Public key Y = xG.
+
+Sign:   e = LE2I(H(m)) mod q ; if e == 0 then e = 1 ;
+        W = kG ; r = W.x mod q ; s = (r*x + k*e) mod q ; sig = r || s
+Verify: e as above ; h_inv = e^-1 ; u = h_inv*s ; v = -(h_inv*r) ;
+        W' = uG + vY ; accept iff W'.x mod q == r
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..curves.shortw import ShortWCurve
+from ..hash.registry import get_hash
+from . import wcore, common
+from .keys import KeyBatch
+
+
+def siglen(curve: ShortWCurve, hash_name=None) -> int:
+    return 2 * ((curve.q.bit_length() + 7) // 8)
+
+
+def _e_of(alg, m: bytes, q: int) -> int:
+    e = int.from_bytes(alg.hash(m), "little") % q
+    return e if e != 0 else 1
+
+
+def sign_batch(keys: KeyBatch, msgs, hash_name="STREEBOG256", nonces=None,
+               adata=None):
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
+    alg = get_hash(hash_name)
+    n = len(msgs)
+    k_dev, _ = wcore.nonces_for(curve, n, nonces)
+    wx, _, inf = wcore.kg_affine(curve, k_dev)
+    r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    e = wcore.scalars_dev(q_ctx, [_e_of(alg, m, q) for m in msgs])
+    # s = r*x + k*e mod q (device)
+    rx = common.q_mul(r, keys.priv, q_ctx)
+    ke = common.q_mul(k_dev, jnp.asarray(e), q_ctx)
+    s = common.q_add(rx, ke, q_ctx)
+    ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
+    nb = (q.bit_length() + 7) // 8
+    rs, ss = wcore.scalars_host(r), wcore.scalars_host(s)
+    sigs = [r_.to_bytes(nb, "big") + s_.to_bytes(nb, "big")
+            for r_, s_ in zip(rs, ss)]
+    return sigs, np.asarray(ok)
+
+
+def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="STREEBOG256",
+                 adata=None):
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
+    alg = get_hash(hash_name)
+    nb = (q.bit_length() + 7) // 8
+    us, vs, rs, pre_ok = [], [], [], []
+    for m, sg in zip(msgs, sigs):
+        ok = len(sg) == 2 * nb
+        r = int.from_bytes(sg[:nb], "big") if ok else 0
+        s = int.from_bytes(sg[nb:], "big") if ok else 0
+        ok = ok and 0 < r < q and 0 < s < q
+        e = _e_of(alg, m, q)
+        einv = pow(e, -1, q)
+        us.append(einv * s % q)
+        vs.append((-(einv * r)) % q)
+        rs.append(r)
+        pre_ok.append(ok)
+    u = wcore.scalars_dev(q_ctx, us)
+    v = wcore.scalars_dev(q_ctx, vs)
+    wx, _, inf = wcore.straus_affine(curve, u, v, keys.pub)
+    rprime = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    r_dev = wcore.scalars_dev(q_ctx, rs)
+    acc = np.asarray(nn.eq_mask(rprime, jnp.asarray(r_dev)) & (~inf))
+    return acc & np.array(pre_ok)

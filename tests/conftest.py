@@ -10,6 +10,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# Persistent XLA compile cache: the suite's cost is dominated by CPU jit
+# compiles of per-curve ladder/Straus kernels; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/libecc_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import random
 
