@@ -250,3 +250,20 @@ register_edwards(
     h=8,
     aliases=("WEI25519-ED", "EDWARDS25519"),
 )
+
+P448 = 2**448 - 2**224 - 1
+
+register_edwards(
+    # RFC 8032 edwards448 (the reference reaches this wire format through a
+    # 4-isogeny from WEI448 + coordinate scaling, eddsa.c:330-568; we use
+    # the RFC curve natively)
+    "ED448",
+    p=P448,
+    a=1,
+    d=-39081,
+    gx=224580040295924300187604334099896036246789641632564134246125461686950415467406032909029192869357953282578032075146446173674602635247710,
+    gy=298819210078481492676017930443930673437544040154080242095928241372331506189835876003536878655418784733982303233503462500531545062832660,
+    q=2**446 - 0x8335dc163bb124b65129c96fde933d8d723a70aadc873d6d54a7bb0d,
+    h=4,
+    aliases=("EDWARDS448", "ED-448"),
+)

@@ -1,19 +1,23 @@
-"""EdDSA (RFC 8032): Ed25519 / Ed25519ctx / Ed25519ph (+ Ed448 family once
-its curve constants land).
+"""EdDSA (RFC 8032): Ed25519 / Ed25519ctx / Ed25519ph and
+Ed448 / Ed448ph — batched TPU implementation.
 
 Reference: src/sig/eddsa.c (2932 LoC) — which transports everything onto
 short-Weierstrass via isogenies; here the curve math is native twisted
 Edwards extended coordinates (see curves/edwards.py docstring for why).
+The edwards448 parameters are the RFC 8032 ones (the reference reaches
+the same wire format through a 4-isogeny + scaling, eddsa.c:330-568).
 
-Split of labor: the sequential, byte-oriented derivations (SHA-512 of
-prefix||M, dom2 framing, little-endian scalar decoding) run on host per
-message; all group arithmetic (R = rB ladder, point decompression via
+Split of labor: the sequential, byte-oriented derivations (hashing of
+prefix||M, dom2/dom4 framing, little-endian scalar decoding) run on host
+per message; all group arithmetic (R = rB ladder, point decompression via
 batched sqrt, the SB = R + kA verification equation) runs as batched
 device kernels. Verification never inverts: it compares cross-multiplied
 projective coordinates.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import jax
@@ -22,29 +26,92 @@ import jax.numpy as jnp
 from ..nn import core as nn
 from ..fp import field as fp
 from ..curves import edwards as ed
-from ..curves.edwards import EdwardsCurve, ExtPoint
+from ..curves.edwards import EdwardsCurve, ExtPoint, register_edwards
 from ..curves import scalar_mul
 from ..hash.registry import get_hash
 from . import common
 
 
 # ---------------------------------------------------------------------------
-# Scalar / encoding helpers (host)
+# Variant table (reference: the EDDSA25519/25519CTX/25519PH/448/448PH
+# registry entries, lib_ecc_types.h:48-55 + eddsa.c dispatch)
 # ---------------------------------------------------------------------------
 
-def _clamp25519(h32: bytes) -> int:
-    a = bytearray(h32)
-    a[0] &= 248
-    a[31] &= 127
-    a[31] |= 64
+@dataclass(frozen=True)
+class Variant:
+    name: str
+    curve_name: str
+    hash_name: str
+    enc_len: int          # point/scalar wire length
+    sign_bit: int         # bit index of the x-sign bit in the encoding
+    seed_len: int
+    phflag: int           # 0 = pure, 1 = pre-hashed
+    always_dom: bool      # ed448 always frames with dom4
+    dom_tag: bytes
+    scalar_bits: int      # ladder schedule length for clamped secrets
+
+
+VARIANTS = {
+    "ed25519": Variant("ed25519", "ED25519", "SHA512", 32, 255, 32, 0,
+                       False, b"SigEd25519 no Ed25519 collisions", 256),
+    "ed25519ctx": Variant("ed25519ctx", "ED25519", "SHA512", 32, 255, 32, 0,
+                          False, b"SigEd25519 no Ed25519 collisions", 256),
+    "ed25519ph": Variant("ed25519ph", "ED25519", "SHA512", 32, 255, 32, 1,
+                         False, b"SigEd25519 no Ed25519 collisions", 256),
+    "ed448": Variant("ed448", "ED448", "SHAKE256", 57, 455, 57, 0,
+                     True, b"SigEd448", 448),
+    "ed448ph": Variant("ed448ph", "ED448", "SHAKE256", 57, 455, 57, 1,
+                       True, b"SigEd448", 448),
+}
+
+
+def get_variant(name: str) -> Variant:
+    v = VARIANTS.get(name.lower())
+    if v is None:
+        raise ValueError(f"unknown EdDSA variant {name!r}")
+    return v
+
+
+def _clamp(v: Variant, h: bytes) -> int:
+    a = bytearray(h[: v.seed_len])
+    if v.enc_len == 32:
+        a[0] &= 248
+        a[31] &= 127
+        a[31] |= 64
+    else:
+        a[0] &= 252
+        a[55] |= 128
+        a[56] = 0
     return int.from_bytes(bytes(a), "little")
 
 
-def _dom2(f: int, context: bytes) -> bytes:
-    if f == 0 and not context:
+def _dom(v: Variant, context: bytes) -> bytes:
+    """dom2/dom4 framing (RFC 8032 §2; eddsa.c dom computation)."""
+    if not v.always_dom and v.phflag == 0 and not context:
         return b""
-    return (b"SigEd25519 no Ed25519 collisions" + bytes([f])
-            + bytes([len(context)]) + context)
+    return v.dom_tag + bytes([v.phflag]) + bytes([len(context)]) + context
+
+
+def _xof(v: Variant, *chunks: bytes) -> bytes:
+    alg = get_hash(v.hash_name)
+    st = alg.new()
+    for c in chunks:
+        st.update(c)
+    return st.digest()   # SHA512: 64 B; SHAKE256: 114 B (= 2*enc_len)
+
+
+def _prehash(v: Variant, m: bytes) -> bytes:
+    if v.phflag == 0:
+        return m
+    if v.hash_name == "SHAKE256":
+        # Ed448ph: PH(M) = SHAKE256(M, 64)
+        from ..hash.sha3 import shake256
+        return shake256(m, 64)
+    return get_hash("SHA512").hash(m)
+
+
+def _enc_point(v: Variant, y: int, xsign: int) -> bytes:
+    return (y | (int(xsign) << v.sign_bit)).to_bytes(v.enc_len, "little")
 
 
 def _le_mod_q(b: bytes, q: int) -> int:
@@ -62,7 +129,7 @@ def encode_core(c: EdwardsCurve, P: ExtPoint):
 
 
 def decode_core(c: EdwardsCurve, y_limbs, sign):
-    """Batched point decode from (y, sign): x = sqrt((y^2-1)/(d y^2 + 1)).
+    """Batched point decode from (y, sign): x = sqrt((y^2-1)/(d y^2 - a)).
     y_limbs: canonical plain limbs; sign: uint32[batch] in {0,1}.
     Returns (point, ok_mask). Reference: eddsa.c point decode :330-568."""
     ctx = c.fp_ctx
@@ -72,17 +139,13 @@ def decode_core(c: EdwardsCurve, y_limbs, sign):
     ym = nn.to_mont(y_limbs, ctx)
     one = ctx.one(like=ym)
     Kd = ctx.const(c.d, like=ym)
-    Ka_inv = ctx.const(pow(c.a, -1, ctx.p_int), like=ym)
     y2 = fp.sqr(ym, ctx)
-    # a x^2 = (1 - y^2)/(d y^2 - 1)  =>  x^2 = (y^2-1) / (d y^2 - a)... use
-    # standard: x^2 = (y^2 - 1) / (d y^2 - a)  (from a x^2 + y^2 = 1 + d x^2 y^2)
     num = fp.sub(y2, one, ctx)
     den = fp.sub(fp.mul(Kd, y2, ctx), ctx.const(c.a, like=ym), ctx)
     x2 = fp.mul(num, fp.inv(den, ctx), ctx)
     x, has_root = fp.sqrt(x2, ctx)
     x_plain = nn.canonicalize_from_mont(x, ctx)
     x_sign = x_plain[0] & 1
-    # if sign mismatch, negate; x == 0 with sign=1 is invalid
     xneg = fp.neg(x, ctx)
     need_neg = (x_sign != sign.astype(jnp.uint32))
     x = fp.select(need_neg, xneg, x)
@@ -93,13 +156,11 @@ def decode_core(c: EdwardsCurve, y_limbs, sign):
     return ExtPoint(x, ym, z, t), ok
 
 
-def sign_mul_core(c: EdwardsCurve, r):
-    """R = r*B (fixed-schedule ladder; r derived from secret material).
-    nbits covers the full clamped-scalar range (bit p_bits-1 may be set for
-    RFC 8032 clamped secrets, which exceed q)."""
+def sign_mul_core(c: EdwardsCurve, r, nbits: int):
+    """R = r*B (fixed-schedule ladder; r derived from secret material)."""
     n = r.shape[-1]
     B = c.generator(batch_shape=(n,))
-    R = scalar_mul.ladder_mul(c, r, B, nbits=c.fp_ctx.bits)
+    R = scalar_mul.ladder_mul(c, r, B, nbits=nbits)
     return encode_core(c, R)
 
 
@@ -111,8 +172,7 @@ def s_core(c: EdwardsCurve, r, k, s):
 
 def verify_core(c: EdwardsCurve, ay, asign, ry, rsign, S, k):
     """Batched verify: SB == R + kA  <=>  SB + k(-A) == R (cross-multiplied
-    projective equality — no inversions). Inputs: encoded A and R (y limbs +
-    sign), S and k canonical scalars."""
+    projective equality — no inversions)."""
     ctx = c.fp_ctx
     q_ctx = c.q_ctx
     A, a_ok = decode_core(c, ay, asign)
@@ -124,7 +184,6 @@ def verify_core(c: EdwardsCurve, ay, asign, ry, rsign, S, k):
     n = S.shape[-1]
     B = c.generator(batch_shape=(n,))
     W = scalar_mul.straus_double_mul_public(c, S, B, k, negA)
-    # W == R projectively: X_W Z_R == X_R Z_W and Y_W Z_R == Y_R Z_W
     xw_zr = fp.mul(W.x, R.z, ctx)
     xr_zw = fp.mul(R.x, W.z, ctx)
     yw_zr = fp.mul(W.y, R.z, ctx)
@@ -134,50 +193,8 @@ def verify_core(c: EdwardsCurve, ay, asign, ry, rsign, S, k):
 
 
 # ---------------------------------------------------------------------------
-# Host API: key batches and sign/verify (Ed25519 family)
+# Host API: key batches and sign/verify
 # ---------------------------------------------------------------------------
-
-class EdDSAKeyBatch:
-    """N Ed25519 keys. Secrets are 32-byte seeds (hash-expanded per RFC
-    8032 — reference: eddsa key derivation, eddsa.c:570-785)."""
-
-    def __init__(self, curve: EdwardsCurve, seeds: list[bytes],
-                 hash_name="SHA512"):
-        self.curve = curve
-        self.n = len(seeds)
-        self.seeds = seeds
-        alg = get_hash(hash_name)
-        self._s = []
-        self._prefix = []
-        for sd in seeds:
-            if len(sd) != 32:
-                raise ValueError("ed25519 seed must be 32 bytes")
-            h = alg.hash(sd)
-            self._s.append(_clamp25519(h[:32]))
-            self._prefix.append(h[32:])
-        s_limbs = jnp.asarray(nn.batch_to_limbs(
-            [s % curve.q for s in self._s], curve.q_ctx.k))
-        # NOTE: A = s*B uses the UNREDUCED clamped s (s may exceed q);
-        # ladder over 256 bits of the full value.
-        s_full = jnp.asarray(nn.batch_to_limbs(self._s, curve.q_ctx.k))
-        B = curve.generator(batch_shape=(self.n,))
-        self._jit_pub = _cached_jit(
-            (curve.name, "pub"),
-            lambda sf: _pub_core(curve, sf))
-        ay, asign = self._jit_pub(s_full)
-        self.s_mod_q = s_limbs
-        self.pub_y = ay
-        self.pub_sign = asign
-        ys = nn.batch_from_limbs(np.asarray(ay))
-        sg = np.asarray(asign)
-        self.pub_bytes = [
-            (y | (int(sg[i]) << 255)).to_bytes(32, "little")
-            for i, y in enumerate(ys)]
-
-
-def _pub_core(curve, s_full):
-    return sign_mul_core(curve, s_full)
-
 
 _JITS: dict = {}
 
@@ -188,80 +205,130 @@ def _cached_jit(key, fn):
     return _JITS[key]
 
 
-def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant="ed25519",
+class EdDSAKeyBatch:
+    """N EdDSA keys. Secrets are seed bytes hash-expanded per RFC 8032
+    (reference: eddsa key derivation, eddsa.c:570-785)."""
+
+    def __init__(self, curve_or_variant, seeds: list[bytes],
+                 hash_name=None, variant: str | None = None):
+        if isinstance(curve_or_variant, str):
+            v = get_variant(curve_or_variant)
+        elif variant is not None:
+            v = get_variant(variant)
+        else:
+            v = (VARIANTS["ed25519"]
+                 if curve_or_variant.name == "ED25519" else VARIANTS["ed448"])
+        self.variant_family = v
+        curve = ed.get_edwards_curve(v.curve_name)
+        self.curve = curve
+        self.n = len(seeds)
+        self.seeds = seeds
+        self._s = []
+        self._prefix = []
+        for sd in seeds:
+            if len(sd) != v.seed_len:
+                raise ValueError(
+                    f"{v.name} seed must be {v.seed_len} bytes")
+            h = _xof(v, sd)
+            self._s.append(_clamp(v, h))
+            self._prefix.append(h[v.seed_len:])
+        s_limbs = jnp.asarray(nn.batch_to_limbs(
+            [s % curve.q for s in self._s], curve.q_ctx.k))
+        # A = s*B uses the UNREDUCED clamped s (s may exceed q);
+        # the ladder runs over the variant's full clamped-scalar range.
+        s_full = jnp.asarray(nn.batch_to_limbs(self._s, curve.q_ctx.k))
+        self._jit_pub = _cached_jit(
+            (curve.name, "pub"),
+            lambda sf: sign_mul_core(curve, sf, v.scalar_bits))
+        ay, asign = self._jit_pub(s_full)
+        self.s_mod_q = s_limbs
+        self.pub_y = ay
+        self.pub_sign = asign
+        ys = nn.batch_from_limbs(np.asarray(ay))
+        sg = np.asarray(asign)
+        self.pub_bytes = [
+            _enc_point(v, y, int(sg[i])) for i, y in enumerate(ys)]
+
+
+def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
                context: bytes = b"") -> list[bytes]:
-    """Batched Ed25519[ctx|ph] signing. Returns 64-byte signatures.
+    """Batched EdDSA signing. Returns 2*enc_len-byte signatures.
     Reference: eddsa.c sign :1221-1553."""
+    v = get_variant(variant) if variant else keys.variant_family
     c = keys.curve
     q = c.q
-    alg = get_hash("SHA512")
-    f, pre = _variant_params(variant, context)
-    msgs_ph = [alg.hash(m) if variant == "ed25519ph" else m for m in msgs]
-    rs = []
-    for i, m in enumerate(msgs_ph):
-        r = _le_mod_q(alg.hash(pre + keys._prefix[i] + m), q)
-        rs.append(r)
+    if v.name == "ed25519" and context:
+        raise ValueError("plain ed25519 takes no context")
+    if v.name == "ed25519ctx" and not context:
+        raise ValueError("ed25519ctx requires context")
+    pre = _dom(v, context)
+    msgs_ph = [_prehash(v, m) for m in msgs]
+    rs = [_le_mod_q(_xof(v, pre, keys._prefix[i], m), q)
+          for i, m in enumerate(msgs_ph)]
     r_limbs = jnp.asarray(nn.batch_to_limbs(rs, c.q_ctx.k))
-    jit_r = _cached_jit((c.name, "signR"), lambda r: sign_mul_core(c, r))
+    jit_r = _cached_jit((c.name, "signR"),
+                        lambda r: sign_mul_core(c, r, c.q_ctx.k * nn.LIMB_BITS))
     ry, rsign = jit_r(r_limbs)
     ry_ints = nn.batch_from_limbs(np.asarray(ry))
     rsign_np = np.asarray(rsign)
-    enc_R = [(y | (int(rsign_np[i]) << 255)).to_bytes(32, "little")
-             for i, y in enumerate(ry_ints)]
-    ks = []
-    for i, m in enumerate(msgs_ph):
-        k = _le_mod_q(alg.hash(pre + enc_R[i] + keys.pub_bytes[i] + m), q)
-        ks.append(k)
+    enc_R = [_enc_point(v, y, int(rsign_np[i])) for i, y in enumerate(ry_ints)]
+    ks = [_le_mod_q(_xof(v, pre, enc_R[i], keys.pub_bytes[i], m), q)
+          for i, m in enumerate(msgs_ph)]
     k_limbs = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
     jit_s = _cached_jit((c.name, "signS"),
                         lambda r, k, s: s_core(c, r, k, s))
     S = jit_s(r_limbs, k_limbs, keys.s_mod_q)
     s_ints = nn.batch_from_limbs(np.asarray(S))
-    return [enc_R[i] + s_ints[i].to_bytes(32, "little")
+    return [enc_R[i] + s_ints[i].to_bytes(v.enc_len, "little")
             for i in range(keys.n)]
 
 
-def _variant_params(variant, context):
-    v = variant.lower()
-    if v == "ed25519":
-        if context:
-            raise ValueError("plain ed25519 takes no context")
-        return 0, b""
-    if v == "ed25519ctx":
-        if not context:
-            raise ValueError("ed25519ctx requires context")
-        return 0, _dom2(0, context)
-    if v == "ed25519ph":
-        return 1, _dom2(1, context)
-    raise ValueError(f"unknown variant {variant}")
-
-
-def verify_batch(curve: EdwardsCurve, pub_keys: list[bytes],
-                 msgs: list[bytes], sigs: list[bytes], variant="ed25519",
+def verify_batch(curve_or_variant, pub_keys: list[bytes],
+                 msgs: list[bytes], sigs: list[bytes], variant=None,
                  context: bytes = b"") -> np.ndarray:
-    """Batched Ed25519[ctx|ph] verification -> accept mask.
+    """Batched EdDSA verification -> accept mask.
     Reference: eddsa.c verify :1912-2277."""
-    c = curve
-    alg = get_hash("SHA512")
-    f, pre = _variant_params(variant, context)
-    msgs_ph = [alg.hash(m) if variant == "ed25519ph" else m for m in msgs]
+    if isinstance(curve_or_variant, str) and variant is None:
+        variant = curve_or_variant
+        curve_or_variant = None
+    if variant is not None:
+        v = get_variant(variant)
+    elif isinstance(curve_or_variant, EdwardsCurve):
+        v = (VARIANTS["ed25519"] if curve_or_variant.name == "ED25519"
+             else VARIANTS["ed448"])
+    else:
+        raise ValueError("pass a variant name or curve")
+    c = ed.get_edwards_curve(v.curve_name)
+    q = c.q
+    if v.name == "ed25519" and context:
+        raise ValueError("plain ed25519 takes no context")
+    pre = _dom(v, context)
+    msgs_ph = [_prehash(v, m) for m in msgs]
     n = len(sigs)
+    el = v.enc_len
+    ymask = (1 << v.sign_bit) - 1
     ay, asign, ry, rsign, S_l, k_l, pre_ok = [], [], [], [], [], [], []
     for i in range(n):
         sig = sigs[i]
-        ok = len(sig) == 64 and len(pub_keys[i]) == 32
-        encR, encS = sig[:32], sig[32:]
-        a_int = int.from_bytes(pub_keys[i], "little")
+        ok = len(sig) == 2 * el and len(pub_keys[i]) == el
+        if not ok:
+            sig = b"\x00" * (2 * el)
+        encR, encS = sig[:el], sig[el:]
+        a_int = int.from_bytes(pub_keys[i].ljust(el, b"\x00"), "little")
         r_int = int.from_bytes(encR, "little")
         s_int = int.from_bytes(encS, "little")
-        ay.append((a_int & ((1 << 255) - 1)))
-        asign.append(a_int >> 255)
-        ry.append(r_int & ((1 << 255) - 1))
-        rsign.append(r_int >> 255)
+        # non-canonical high bits (e.g. ed448 byte 56 ≠ sign only) invalidate
+        ok = ok and (a_int & ~(ymask | (1 << v.sign_bit))) == 0 \
+            and (r_int & ~(ymask | (1 << v.sign_bit))) == 0
+        ay.append(a_int & ymask)
+        asign.append((a_int >> v.sign_bit) & 1)
+        ry.append(r_int & ymask)
+        rsign.append((r_int >> v.sign_bit) & 1)
         S_l.append(s_int % (1 << (c.q_ctx.k * nn.LIMB_BITS)))
-        k = _le_mod_q(alg.hash(pre + encR + pub_keys[i] + msgs_ph[i]), c.q)
+        k = _le_mod_q(_xof(v, pre, encR, pub_keys[i].ljust(el, b"\x00"),
+                           msgs_ph[i]), q)
         k_l.append(k)
-        pre_ok.append(ok and s_int < (1 << 256))
+        pre_ok.append(ok)
     kk = c.fp_ctx.k
     args = (
         jnp.asarray(nn.batch_to_limbs(ay, kk)),
