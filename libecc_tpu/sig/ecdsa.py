@@ -130,7 +130,7 @@ _VERIFY_CACHE: dict = {}
 
 
 def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
-               nonces=None, deterministic=False):
+               nonces=None, deterministic=False, adata=None):
     """Sign N messages with N keys. Returns (sigs list[bytes r||s], ok).
     nonces: optional fixed list[int] (KAT injection)."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
@@ -161,7 +161,7 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
 
 
 def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
-                 hash_name="SHA256"):
+                 hash_name="SHA256", adata=None):
     """Verify N signatures (r||s raw format). Returns accept mask."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)

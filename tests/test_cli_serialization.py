@@ -1,0 +1,65 @@
+"""Structured serialization formats + ec_utils-compatible CLI roundtrip.
+
+Reference: ec_structured_* formats (sig_algs.c:696+, ec_key.h:99-168) and
+the ec_utils command surface (src/tests/ec_utils.c) incl. the HDR_MAGIC
+signed-image layout and scripts/test_ec_utils.sh e2e flow.
+"""
+
+import os
+
+import pytest
+
+from libecc_tpu import serialization as ser
+from libecc_tpu import cli
+
+
+def test_structured_sig_roundtrip():
+    raw = b"\x01" * 64
+    buf = ser.structured_sig_export(raw, "ECDSA", "SHA256", "SECP256R1")
+    assert buf[:3] == bytes([1, 2, 4])   # libecc enum values
+    sig, alg, h, curve = ser.structured_sig_import(buf)
+    assert (sig, alg, h, curve) == (raw, "ECDSA", "SHA256", "SECP256R1")
+    with pytest.raises(ValueError):
+        ser.structured_sig_import(bytes([255, 2, 4]) + raw)
+
+
+def test_structured_key_roundtrip():
+    raw = b"\x02" * 32
+    buf = ser.structured_key_export(raw, True, "SM2", "SM2P256V1")
+    assert buf[:3] == bytes([1, 8, 17])
+    key, is_priv, alg, curve = ser.structured_key_import(buf)
+    assert is_priv and alg == "SM2" and curve == "SM2P256V1" and key == raw
+    with pytest.raises(ValueError):
+        ser.structured_key_import(buf, expect_priv=False)
+
+
+def test_cli_roundtrip(tmp_path):
+    os.chdir(tmp_path)
+    msg = tmp_path / "m.txt"
+    msg.write_bytes(b"cli end-to-end message")
+    assert cli.main(["gen_keys", "SECP256R1", "ECDSA", "k"]) == 0
+    assert cli.main(["sign", "SECP256R1", "ECDSA", "SHA256", str(msg),
+                     "k_private_key.bin", "m.sig"]) == 0
+    assert cli.main(["verify", "SECP256R1", "ECDSA", "SHA256", str(msg),
+                     "k_public_key.bin", "m.sig"]) == 0
+    # corrupt message -> reject
+    msg.write_bytes(b"cli end-to-end message!")
+    assert cli.main(["verify", "SECP256R1", "ECDSA", "SHA256", str(msg),
+                     "k_public_key.bin", "m.sig"]) == 1
+
+
+def test_cli_struct_image(tmp_path):
+    os.chdir(tmp_path)
+    data = tmp_path / "img.bin"
+    data.write_bytes(os.urandom(333))
+    assert cli.main(["gen_keys", "SECP256R1", "ECDSA", "k"]) == 0
+    assert cli.main(["struct_sign", "SECP256R1", "ECDSA", "SHA256",
+                     str(data), "k_private_key.bin", "signed.img",
+                     "IMAGE_TYPE0", "7"]) == 0
+    assert cli.main(["struct_verify", "SECP256R1", "ECDSA", "SHA256",
+                     "signed.img", "k_public_key.bin"]) == 0
+    blob = bytearray((tmp_path / "signed.img").read_bytes())
+    blob[24] ^= 1
+    (tmp_path / "bad.img").write_bytes(bytes(blob))
+    assert cli.main(["struct_verify", "SECP256R1", "ECDSA", "SHA256",
+                     "bad.img", "k_public_key.bin"]) == 1
