@@ -60,7 +60,13 @@ def from_limbs(a) -> int:
 
 def bytes_be_to_limbs_np(bufs: list[bytes], k: int) -> np.ndarray:
     """Vectorized host conversion: equal-length big-endian byte strings ->
-    np.uint32[k, N] limbs. numpy mirror of be_words_to_limbs."""
+    np.uint32[k, N] limbs. Uses the native C++ host runtime when built
+    (native/host_runtime.cpp); numpy mirror of be_words_to_limbs otherwise.
+    """
+    from . import native
+    nat = native.be_bytes_to_limbs(bufs, k)
+    if nat is not None:
+        return nat
     nb = len(bufs[0])
     pad = (-nb) % 4
     nw = (nb + pad) // 4
@@ -85,7 +91,11 @@ def bytes_be_to_limbs_np(bufs: list[bytes], k: int) -> np.ndarray:
 
 def limbs_to_bytes_be_np(a, nbytes: int) -> list[bytes]:
     """Vectorized host conversion: np.uint32[K, N] canonical limbs ->
-    N big-endian byte strings of length nbytes."""
+    N big-endian byte strings of length nbytes (native C++ when built)."""
+    from . import native
+    nat = native.limbs_to_be_bytes(np.asarray(a), nbytes)
+    if nat is not None:
+        return nat
     a = np.asarray(a).astype(np.uint32)
     k, n = a.shape
     pad = (-nbytes) % 4

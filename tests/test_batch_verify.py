@@ -1,0 +1,75 @@
+"""Batch verification (random-linear-combination, the Bos-Coster analog).
+
+Reference semantics: ec_verify_batch (sig_algs.c:675) — one accept/reject
+for the whole batch; only ECFSDSA/EdDSA/BIP0340 support it.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from libecc_tpu.curves import params
+from libecc_tpu.sig import keys as K
+from libecc_tpu.sig import ecfsdsa, bip0340, eddsa, batch_verify
+
+
+def _rng(seed):
+    r = random.Random(seed)
+    return lambda n: bytes(r.randrange(256) for _ in range(n))
+
+
+def test_ecfsdsa_batch():
+    curve = params.get_curve("SECP256R1")
+    n = 8
+    kb = K.keygen(curve, "ECFSDSA", n, priv_ints=[i + 2 for i in range(n)])
+    msgs = [bytes([i]) * 20 for i in range(n)]
+    sigs, ok = ecfsdsa.sign_batch(kb, msgs, "SHA256",
+                                  nonces=[5 * i + 11 for i in range(n)])
+    assert ok.all()
+    assert batch_verify.ecfsdsa_verify_batch(kb, msgs, sigs, "SHA256",
+                                             rng=_rng(1))
+    # single corrupted signature poisons the whole batch
+    bad = list(sigs)
+    bad[3] = bad[3][:-1] + bytes([bad[3][-1] ^ 1])
+    assert not batch_verify.ecfsdsa_verify_batch(kb, msgs, bad, "SHA256",
+                                                 rng=_rng(2))
+    # corrupted message too
+    bm = list(msgs)
+    bm[0] = b"evil"
+    assert not batch_verify.ecfsdsa_verify_batch(kb, bm, sigs, "SHA256",
+                                                 rng=_rng(3))
+
+
+def test_bip0340_batch():
+    curve = params.get_curve("SECP256K1")
+    n = 4
+    kb = K.keygen(curve, "BIP0340", n, priv_ints=[i + 3 for i in range(n)])
+    msgs = [bytes([7 * i]) * 32 for i in range(n)]
+    sigs, ok = bip0340.sign_batch(kb, msgs, "SHA256",
+                                  aux=[bytes(32)] * n)
+    assert ok.all()
+    assert batch_verify.bip0340_verify_batch(kb, msgs, sigs, "SHA256",
+                                             rng=_rng(4))
+    bad = list(sigs)
+    bad[1] = bytes([bad[1][0] ^ 1]) + bad[1][1:]
+    assert not batch_verify.bip0340_verify_batch(kb, msgs, bad, "SHA256",
+                                                 rng=_rng(5))
+
+
+def test_eddsa_batch():
+    seeds = [bytes([i]) * 32 for i in range(6)]
+    kb = eddsa.EdDSAKeyBatch("ed25519", seeds)
+    msgs = [bytes([i, i + 1]) * 8 for i in range(6)]
+    sigs = eddsa.sign_batch(kb, msgs, "ed25519")
+    assert batch_verify.eddsa_verify_batch("ed25519", kb.pub_bytes, msgs,
+                                           sigs, rng=_rng(6))
+    bad = list(sigs)
+    bad[5] = bad[5][:32] + bytes([bad[5][32] ^ 1]) + bad[5][33:]
+    assert not batch_verify.eddsa_verify_batch("ed25519", kb.pub_bytes,
+                                               msgs, bad, rng=_rng(7))
+
+
+def test_unsupported():
+    with pytest.raises(NotImplementedError):
+        batch_verify.unsupported_verify_batch()

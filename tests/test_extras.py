@@ -1,0 +1,173 @@
+"""Examples tier: RSA / DSA / SDSA / KCDSA / GOST94 / SSS / primality.
+
+Reference: src/examples/ (rsa.c, dsa.c, sdsa.c, kcdsa.c,
+gostr34_10_94.c, sss.c, miller_rabin.c, pollard_rho.c). RSA and DSA are
+cross-checked against an independent implementation (the `cryptography`
+package); the rest are property-tested (roundtrip + tamper rejection).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from libecc_tpu.extras import rsa, primes, fp_sigs, sss
+
+
+def _rng(seed):
+    r = random.Random(seed)
+    return lambda n: bytes(r.randrange(256) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def rsa_kp():
+    return rsa.keygen(1024, rng=_rng(42))
+
+
+@pytest.fixture(scope="module")
+def dsa_dom():
+    return fp_sigs.gen_domain(1024, 160, rng=_rng(7))
+
+
+def test_rsa_primitive_roundtrip(rsa_kp):
+    kp = rsa_kp
+    ms = [random.Random(i).getrandbits(900) % kp.n for i in range(4)]
+    cs = rsa.rsaep_batch(kp, ms)
+    back = rsa.rsadp_batch(kp, cs)
+    assert back == ms
+
+
+def test_rsa_pkcs1_v15_interop(rsa_kp):
+    """Our signatures verify under `cryptography`, and vice versa."""
+    kp = rsa_kp
+    from cryptography.hazmat.primitives.asymmetric import rsa as crsa
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives import hashes
+    pub = crsa.RSAPublicNumbers(kp.e, kp.n).public_key()
+    priv = crsa.RSAPrivateNumbers(
+        p=kp.p, q=kp.q, d=kp.d, dmp1=kp.d % (kp.p - 1),
+        dmq1=kp.d % (kp.q - 1), iqmp=pow(kp.q, -1, kp.p),
+        public_numbers=crsa.RSAPublicNumbers(kp.e, kp.n)).private_key()
+    msgs = [b"hello rsa", b"second message"]
+    sigs = rsa.sign_pkcs1_v15_batch(kp, msgs, "SHA256")
+    for m, s in zip(msgs, sigs):
+        pub.verify(s, m, padding.PKCS1v15(), hashes.SHA256())
+    theirs = [priv.sign(m, padding.PKCS1v15(), hashes.SHA256())
+              for m in msgs]
+    assert rsa.verify_pkcs1_v15_batch(kp, msgs, theirs, "SHA256").all()
+    bad = rsa.verify_pkcs1_v15_batch(kp, [b"evil", msgs[1]], sigs, "SHA256")
+    assert not bad[0] and bad[1]
+
+
+def test_rsa_pss_interop(rsa_kp):
+    kp = rsa_kp
+    from cryptography.hazmat.primitives.asymmetric import rsa as crsa
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives import hashes
+    pub = crsa.RSAPublicNumbers(kp.e, kp.n).public_key()
+    msgs = [b"pss message one", b"pss message two"]
+    sigs = rsa.sign_pss_batch(kp, msgs, "SHA256", rng=_rng(3))
+    for m, s in zip(msgs, sigs):
+        pub.verify(s, m, padding.PSS(mgf=padding.MGF1(hashes.SHA256()),
+                                     salt_length=32), hashes.SHA256())
+    assert rsa.verify_pss_batch(kp, msgs, sigs, "SHA256").all()
+    assert not rsa.verify_pss_batch(kp, [b"x", msgs[1]], sigs,
+                                    "SHA256")[0]
+
+
+def test_rsa_encrypt_roundtrip(rsa_kp):
+    kp = rsa_kp
+    msgs = [b"secret one", b"secret two longer payload"]
+    cts = rsa.encrypt_pkcs1_v15_batch(kp, msgs, rng=_rng(9))
+    back = rsa.decrypt_pkcs1_v15_batch(kp, cts)
+    assert back == msgs
+
+
+def test_dsa_interop(dsa_dom):
+    dom = dsa_dom
+    privs, pubs = fp_sigs.keygen(dom, 2, rng=_rng(11))
+    msgs = [b"dsa one", b"dsa two"]
+    sigs = fp_sigs.dsa_sign_batch(dom, privs, msgs, "SHA256", rng=_rng(12))
+    assert fp_sigs.dsa_verify_batch(dom, pubs, msgs, sigs, "SHA256").all()
+    # cross-check with `cryptography`
+    from cryptography.hazmat.primitives.asymmetric import dsa as cdsa
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        encode_dss_signature)
+    from cryptography.hazmat.primitives import hashes
+    pn = cdsa.DSAParameterNumbers(p=dom.p, q=dom.q, g=dom.g)
+    pub = cdsa.DSAPublicNumbers(y=pubs[0], parameter_numbers=pn).public_key()
+    r = int.from_bytes(sigs[0][:dom.q_len], "big")
+    s = int.from_bytes(sigs[0][dom.q_len:], "big")
+    pub.verify(encode_dss_signature(r, s), msgs[0], hashes.SHA256())
+    bad = fp_sigs.dsa_verify_batch(dom, pubs, [b"evil", msgs[1]], sigs,
+                                   "SHA256")
+    assert not bad[0] and bad[1]
+
+
+def test_sdsa_roundtrip(dsa_dom):
+    dom = dsa_dom
+    privs, pubs = fp_sigs.keygen(dom, 3, rng=_rng(21))
+    msgs = [bytes([i]) * 9 for i in range(3)]
+    sigs = fp_sigs.sdsa_sign_batch(dom, privs, msgs, "SHA256", rng=_rng(22))
+    assert fp_sigs.sdsa_verify_batch(dom, pubs, msgs, sigs, "SHA256").all()
+    sigs[1] = sigs[1][:-1] + bytes([sigs[1][-1] ^ 1])
+    assert not fp_sigs.sdsa_verify_batch(dom, pubs, msgs, sigs,
+                                         "SHA256")[1]
+
+
+def test_kcdsa_roundtrip(dsa_dom):
+    dom = dsa_dom
+    privs, pubs = fp_sigs.keygen(dom, 3, rng=_rng(31), inv_pub=True)
+    msgs = [bytes([i + 5]) * 11 for i in range(3)]
+    sigs = fp_sigs.kcdsa_sign_batch(dom, privs, pubs, msgs, "SHA256",
+                                    rng=_rng(32))
+    assert fp_sigs.kcdsa_verify_batch(dom, pubs, msgs, sigs,
+                                      "SHA256").all()
+    msgs[2] = b"tampered"
+    assert not fp_sigs.kcdsa_verify_batch(dom, pubs, msgs, sigs,
+                                          "SHA256")[2]
+
+
+def test_gost94_roundtrip(dsa_dom):
+    dom = dsa_dom
+    privs, pubs = fp_sigs.keygen(dom, 2, rng=_rng(41))
+    msgs = [b"gost one", b"gost two"]
+    sigs = fp_sigs.gost94_sign_batch(dom, privs, msgs, "STREEBOG256",
+                                     rng=_rng(42))
+    assert fp_sigs.gost94_verify_batch(dom, pubs, msgs, sigs,
+                                       "STREEBOG256").all()
+    sigs[0] = bytes([sigs[0][0] ^ 1]) + sigs[0][1:]
+    assert not fp_sigs.gost94_verify_batch(dom, pubs, msgs, sigs,
+                                           "STREEBOG256")[0]
+
+
+def test_sss_roundtrip():
+    secret = bytes(range(32))
+    shares = sss.share_secret(secret, k=3, n=6, rng=_rng(51))
+    assert sss.reconstruct(shares[:3], 3) == secret
+    assert sss.reconstruct([shares[5], shares[1], shares[3]], 3) == secret
+    # serialization roundtrip
+    blobs = [s.to_bytes() for s in shares]
+    back = [sss.Share.from_bytes(b) for b in blobs]
+    assert sss.reconstruct(back[2:5], 3) == secret
+    # k-1 shares give a different secret (and integrity fails)
+    with pytest.raises(ValueError):
+        sss.reconstruct(shares[:2], 3)
+    # tampered share -> integrity error
+    bad = sss.Share(shares[0].index, b"\x00" * 32, shares[0].session_id,
+                    shares[0].hmac)
+    with pytest.raises(ValueError):
+        sss.reconstruct([bad, shares[1], shares[2]], 3)
+
+
+def test_miller_rabin_and_rho():
+    assert primes.miller_rabin(2 ** 127 - 1, rounds=16, rng=_rng(61))
+    assert not primes.miller_rabin((2 ** 127 - 1) * 3, rounds=8,
+                                   rng=_rng(62), device=False)
+    # Carmichael number must be rejected
+    assert not primes.miller_rabin(561, device=False)
+    # rho finds a factor p in ~sqrt(p) steps: keep factors small
+    p = primes.gen_prime(36, rng=_rng(63))
+    q = primes.gen_prime(36, rng=_rng(64))
+    f = primes.pollard_rho(p * q, rng=_rng(65))
+    assert f in (p, q)

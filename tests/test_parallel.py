@@ -1,0 +1,55 @@
+"""Multi-device sharding: the full sign+verify pipeline over an 8-device
+mesh (the driver's dryrun path) and the explicit shard_map point-sum
+reduction (SURVEY §2.13 distributed batch verification).
+
+Runs on 8 virtual CPU devices (jax.devices('cpu')) regardless of how many
+real chips are attached.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libecc_tpu.curves import params
+from libecc_tpu.parallel import mesh as meshlib
+from libecc_tpu.ref import hostref
+
+N_DEV = 8
+
+
+def _require_devices():
+    try:
+        meshlib._pick_devices(N_DEV)
+    except ValueError:
+        pytest.skip(f"need {N_DEV} devices")
+
+
+def test_dryrun_multichip():
+    """The driver's multi-chip validation entry must pass end-to-end."""
+    _require_devices()
+    import __graft_entry__ as g
+    g.dryrun_multichip(N_DEV)
+
+
+def test_sharded_point_sum():
+    _require_devices()
+    curve = params.get_curve("SECP256R1")
+    mesh = meshlib.make_mesh(N_DEV)
+    n = 2 * N_DEV
+    ks = list(range(1, n + 1))
+    ref = hostref.WCurve(curve.fp_ctx.p_int, curve.a, curve.b,
+                         curve.gx, curve.gy, curve.q, curve.h)
+    pts = [hostref.ec_mul(ref, k, (ref.gx, ref.gy)) for k in ks]
+    P = curve.point_from_affine_ints([p[0] for p in pts],
+                                     [p[1] for p in pts])
+    P = type(P)(*meshlib.shard_batch(mesh, list(P)))
+    with mesh:
+        total = meshlib.sharded_point_sum(mesh, curve, P)
+    from libecc_tpu.curves.shortw import to_affine_plain
+    from libecc_tpu.nn import core as nn
+    x, y, inf = to_affine_plain(curve, total)
+    assert not bool(np.asarray(inf).any())
+    expect = hostref.ec_mul(ref, sum(ks), (ref.gx, ref.gy))
+    assert nn.batch_from_limbs(np.asarray(x))[0] == expect[0]
+    assert nn.batch_from_limbs(np.asarray(y))[0] == expect[1]
