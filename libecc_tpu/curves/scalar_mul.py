@@ -133,6 +133,35 @@ def windowed_mul_public(c, m, P, nbits: int | None = None, w: int = 4):
     return punstack(cls, out)
 
 
+def straus_double_mul_public_w4(c, u, P, v, Q, nbits: int | None = None):
+    """u*P + v*Q with SEPARATE 16-entry tables per base and 4-bit windows.
+
+    Same shared-doubling idea as the joint-table Straus below, but each
+    scan step processes 4 bits (4 doublings + 2 table adds), so the scan
+    carry state round-trips HBM 4x less often — the dominant cost of the
+    XLA-scan formulation on TPU. Table build: 2 x 14 adds/dbls."""
+    if nbits is None:
+        nbits = c.scalar_bits()
+    cls = type(P)
+    ptab = _build_mul_table(c, P, 16)
+    qtab = _build_mul_table(c, Q, 16)
+    du = _window_digits(u, nbits, 4)
+    dv = _window_digits(v, nbits, 4)
+    acc = c.pinf(like=P)
+
+    def step(carry, dd):
+        d_u, d_v = dd
+        accp = punstack(cls, carry)
+        for _ in range(4):
+            accp = c.pdbl(accp)
+        accp = c.padd(accp, _table_gather(cls, ptab, d_u))
+        accp = c.padd(accp, _table_gather(cls, qtab, d_v))
+        return pstack(accp), None
+
+    out, _ = jax.lax.scan(step, pstack(acc), (du, dv))
+    return punstack(cls, out)
+
+
 def straus_double_mul_public(c, u, P, v, Q, nbits: int | None = None,
                              w: int = 2):
     """u*P + v*Q interleaved (Straus-Shamir), public scalars — the

@@ -130,10 +130,19 @@ def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
     Reference: __prj_pt_add_monty_cf (src/curves/prj_pt.c:971).
     Handles P=Q, P=-Q, infinity without branches.
 
+    On TPU backends with kernel-compatible batch shapes the whole formula
+    runs as ONE fused Pallas kernel (ops/pallas/point.py) — same math,
+    all intermediates in VMEM.
+
     The only algebraic deviation from Alg. 1: a*(t0 - a*t2) is expanded to
     a*t0 - a^2*t2 (a^2 is a curve constant) so the middle layer's products
     are mutually independent.
     """
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import point as ppoint
+        if ppoint.supported(c, P) and P.x.shape == Q.x.shape:
+            return ppoint.point_add(c, P, Q)
     ctx = c.fp_ctx
     A = ctx.const(c.a, like=P.x)
     A2 = ctx.const(c.a2, like=P.x)
@@ -167,7 +176,13 @@ def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
 def point_dbl(c: ShortWCurve, P: PrjPoint) -> PrjPoint:
     """Complete doubling, any a (RCB 2015 Alg. 3), 3 grouped multiply layers
     (6+6+5 products; same a*(t0-a*t2) expansion as point_add).
-    Reference: __prj_pt_dbl_monty_cf (src/curves/prj_pt.c:884)."""
+    Reference: __prj_pt_dbl_monty_cf (src/curves/prj_pt.c:884).
+    Fused Pallas kernel on TPU (see point_add)."""
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import point as ppoint
+        if ppoint.supported(c, P):
+            return ppoint.point_dbl(c, P)
     ctx = c.fp_ctx
     A = ctx.const(c.a, like=P.x)
     A2 = ctx.const(c.a2, like=P.x)

@@ -1,0 +1,256 @@
+"""Fused Pallas TPU kernels for complete-formula point add / double.
+
+One kernel = one whole Renes-Costello-Batina formula (12-18 field
+multiplies plus the additive glue), with every intermediate field element
+kept in VMEM as (8, 128)-tile limb lists. The XLA formulation spills each
+field-op result to HBM between ops; fusing the full formula removes that
+traffic and the per-op fusion boundaries, which dominate the scalar-mult
+loop cost (see SURVEY §7 hot-path analysis; reference formulas:
+src/curves/prj_pt.c:884-1072).
+
+Layout contract (shared with mont.py): coords are uint32[K, N] relaxed
+Montgomery-domain limb tensors with N % 1024 == 0; blocks are
+(K, 8, 128). Math is bit-identical to curves/shortw.py point_add/
+point_dbl over nn.core relaxed arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...nn import core as nn
+from .mont import (LIMB_MASK, SUBLANES, LANES, BLOCK,
+                   _relax, _mul_cols, _mul_cols_const, _f32_carry)
+
+
+# -- field ops on lists of (S, L) tiles ---------------------------------------
+
+def _fmul(a, b, p_limbs, pinv_limbs, k):
+    """Relaxed Montgomery product of two tile lists (mont.py kernel body)."""
+    ar = _relax(a)
+    br = _relax(b)
+    t = _mul_cols(ar, br)
+    t_lo_r = _relax(t[:k])
+    m = _relax(_mul_cols_const(t_lo_r, pinv_limbs)[:k])
+    u = _mul_cols_const(m, p_limbs)
+    s_lo = [t[i] + u[i] for i in range(k)]
+    carry = _f32_carry(s_lo)
+    hi = [t[k + i] + u[k + i] for i in range(k)]
+    hi[0] = hi[0] + carry
+    return _relax(hi)
+
+
+def _fmul_c(a, c_limbs, p_limbs, pinv_limbs, k):
+    """Montgomery product with a constant (Montgomery-domain int limbs)."""
+    ar = _relax(a)
+    t = _mul_cols_const(ar, c_limbs)
+    t_lo_r = _relax(t[:k])
+    m = _relax(_mul_cols_const(t_lo_r, pinv_limbs)[:k])
+    u = _mul_cols_const(m, p_limbs)
+    s_lo = [t[i] + u[i] for i in range(k)]
+    carry = _f32_carry(s_lo)
+    hi = [t[k + i] + u[k + i] for i in range(k)]
+    hi[0] = hi[0] + carry
+    return _relax(hi)
+
+
+def _fadd(a, b):
+    return [x + y for x, y in zip(a, b)]
+
+
+def _fsub(a, b, sub_kc, sub_cc, sub_c0, k):
+    """mod_sub_relaxed complement trick (nn.core.mod_sub_relaxed)."""
+    out = []
+    cc = jnp.uint32(sub_cc)
+    for i in range(k):
+        comp = (cc - b[i]) if i < sub_kc else jnp.zeros_like(b[i])
+        c0 = jnp.uint32(int(sub_c0[i]))
+        out.append(a[i] + comp + c0)
+    return out
+
+
+def _read(ref, k):
+    return [ref[i] for i in range(k)]
+
+
+def _write(ref, limbs):
+    for i, v in enumerate(limbs):
+        ref[i] = v
+
+
+# -- RCB complete formulas (mirror curves/shortw.py) ---------------------------
+
+def _add_body(C, X1, Y1, Z1, X2, Y2, Z2):
+    k = C["k"]
+    mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
+    mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
+    ad = _fadd
+    sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"], C["sub_c0"], k)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    m3 = mul(ad(X1, Y1), ad(X2, Y2))
+    m4 = mul(ad(X1, Z1), ad(X2, Z2))
+    m5 = mul(ad(Y1, Z1), ad(Y2, Z2))
+    t3 = sb(m3, ad(t0, t1))
+    t4 = sb(m4, ad(t0, t2))
+    t5 = sb(m5, ad(t1, t2))
+    at4 = mc(t4, C["A"])
+    b3t2 = mc(t2, C["B3"])
+    at2 = mc(t2, C["A"])
+    b3t4 = mc(t4, C["B3"])
+    at0 = mc(t0, C["A"])
+    a2t2 = mc(t2, C["A2"])
+    Z3 = ad(at4, b3t2)
+    X3 = sb(t1, Z3)
+    Z3 = ad(t1, Z3)
+    t1n = ad(ad(ad(t0, t0), t0), at2)
+    t4n = ad(b3t4, sb(at0, a2t2))
+    y3a = mul(X3, Z3)
+    y3b = mul(t1n, t4n)
+    x3b = mul(t5, t4n)
+    x3a = mul(t3, X3)
+    z3b = mul(t3, t1n)
+    z3a = mul(t5, Z3)
+    return sb(x3a, x3b), ad(y3a, y3b), ad(z3a, z3b)
+
+
+def _dbl_body(C, X, Y, Z):
+    k = C["k"]
+    mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
+    mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
+    ad = _fadd
+    sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"], C["sub_c0"], k)
+    t0 = mul(X, X)
+    t1 = mul(Y, Y)
+    t2 = mul(Z, Z)
+    xy = mul(X, Y)
+    xz = mul(X, Z)
+    yz = mul(Y, Z)
+    t3 = ad(xy, xy)
+    Z3w = ad(xz, xz)
+    az3 = mc(Z3w, C["A"])
+    b3t2 = mc(t2, C["B3"])
+    b3z3 = mc(Z3w, C["B3"])
+    at2 = mc(t2, C["A"])
+    at0 = mc(t0, C["A"])
+    a2t2 = mc(t2, C["A2"])
+    Y3w = ad(az3, b3t2)
+    X3w = sb(t1, Y3w)
+    Y3w = ad(t1, Y3w)
+    t3n = ad(sb(at0, a2t2), b3z3)
+    t0n = ad(ad(ad(t0, t0), t0), at2)
+    t2d = ad(yz, yz)
+    y3m = mul(X3w, Y3w)
+    y3t = mul(t0n, t3n)
+    x3t = mul(t2d, t3n)
+    x3m = mul(t3, X3w)
+    z3m = mul(t2d, t1)
+    X3 = sb(x3m, x3t)
+    Y3 = ad(y3m, y3t)
+    Z3 = ad(z3m, z3m)
+    Z3 = ad(Z3, Z3)
+    return X3, Y3, Z3
+
+
+def _curve_consts(curve):
+    ctx = curve.fp_ctx
+    k = ctx.k
+    p = ctx.p_int
+
+    def mont_limbs(v):
+        return tuple(int(x) for x in nn.to_limbs(v * ctx.R % p, k))
+
+    return dict(
+        k=k,
+        p=tuple(int(x) for x in ctx.p),
+        pinv=tuple(int(x) for x in ctx.pinv_full),
+        sub_kc=int(ctx.sub_kc),
+        sub_cc=int(ctx.sub_cc),
+        sub_c0=tuple(int(x) for x in ctx.sub_c0),
+        A=mont_limbs(curve.a % p),
+        A2=mont_limbs(curve.a2),
+        B3=mont_limbs(curve.b3),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_add(curve_key, k):
+    from ...curves import params
+    curve = params.get_curve(curve_key)
+    C = _curve_consts(curve)
+
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        X3, Y3, Z3 = _add_body(C, _read(x1, k), _read(y1, k), _read(z1, k),
+                               _read(x2, k), _read(y2, k), _read(z2, k))
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    def call(coords):
+        n = coords[0].shape[-1]
+        g = n // BLOCK
+        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        args = [c.reshape(k, n // LANES, LANES) for c in coords]
+        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
+        outs = pl.pallas_call(
+            kern, grid=(g,),
+            in_specs=[spec] * 6, out_specs=(spec, spec, spec),
+            out_shape=(sds, sds, sds),
+        )(*args)
+        return tuple(o.reshape(k, n) for o in outs)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dbl(curve_key, k):
+    from ...curves import params
+    curve = params.get_curve(curve_key)
+    C = _curve_consts(curve)
+
+    def kern(x1, y1, z1, ox, oy, oz):
+        X3, Y3, Z3 = _dbl_body(C, _read(x1, k), _read(y1, k), _read(z1, k))
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    def call(coords):
+        n = coords[0].shape[-1]
+        g = n // BLOCK
+        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        args = [c.reshape(k, n // LANES, LANES) for c in coords]
+        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
+        outs = pl.pallas_call(
+            kern, grid=(g,),
+            in_specs=[spec] * 3, out_specs=(spec, spec, spec),
+            out_shape=(sds, sds, sds),
+        )(*args)
+        return tuple(o.reshape(k, n) for o in outs)
+
+    return call
+
+
+def supported(curve, P) -> bool:
+    return (P.x.ndim == 2 and P.x.shape[-1] % BLOCK == 0
+            and getattr(curve.fp_ctx, "relaxed_ok", False))
+
+
+def point_add(curve, P, Q):
+    call = _build_add(curve.name, curve.fp_ctx.k)
+    x, y, z = call((P.x, P.y, P.z, Q.x, Q.y, Q.z))
+    return type(P)(x, y, z)
+
+
+def point_dbl(curve, P):
+    call = _build_dbl(curve.name, curve.fp_ctx.k)
+    x, y, z = call((P.x, P.y, P.z))
+    return type(P)(x, y, z)
