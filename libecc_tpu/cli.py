@@ -233,6 +233,11 @@ def cmd_scalar_mult(argv):
     return 0
 
 
+def cmd_self_tests(argv):
+    from . import self_tests
+    return self_tests.main(argv)
+
+
 COMMANDS = {
     "gen_keys": cmd_gen_keys,
     "sign": cmd_sign,
@@ -240,6 +245,7 @@ COMMANDS = {
     "struct_sign": cmd_struct_sign,
     "struct_verify": cmd_struct_verify,
     "scalar_mult": cmd_scalar_mult,
+    "self_tests": cmd_self_tests,
 }
 
 

@@ -155,6 +155,11 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     nb = (curve.q.bit_length() + 7) // 8
     rs = nn.batch_from_limbs(np.asarray(r))
     ss = nn.batch_from_limbs(np.asarray(s))
+    from ..utils import dbg
+    if dbg.enabled():
+        dbg.trace_nn("ECDSA", "e", e, q_ctx)
+        dbg.trace_nn("ECDSA", "r", rs)
+        dbg.trace_nn("ECDSA", "s", ss)
     sigs = [int(ri).to_bytes(nb, "big") + int(si).to_bytes(nb, "big")
             for ri, si in zip(rs, ss)]
     return sigs, np.asarray(ok)
