@@ -64,7 +64,20 @@ def keygen(curve: ShortWCurve, alg: str, n: int, rng=None,
     return KeyBatch(curve=curve, alg=alg, n=n, priv=priv, pub=pub)
 
 
-def pubkey_batch_from_affine_ints(curve: ShortWCurve, alg: str, xs, ys) -> KeyBatch:
+def pubkey_batch_from_affine_ints(curve: ShortWCurve, alg: str, xs, ys,
+                                  validate: bool = True) -> KeyBatch:
+    """Build a public-key batch; by default validates every point is on
+    the curve (reference: on-curve check on point import, aff_pt.c:139 —
+    accepting off-curve public keys enables invalid-curve attacks).
+    Order/cofactor checks are the caller's concern for h > 1 curves
+    (reference: check_prj_pt_order where needed, prj_pt.c:1909)."""
+    if validate:
+        p = curve.fp_ctx.p_int
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if not (0 <= x < p and 0 <= y < p):
+                raise ValueError(f"public key {i}: coordinate out of range")
+            if (y * y - (x * x * x + curve.a * x + curve.b)) % p != 0:
+                raise ValueError(f"public key {i}: point not on curve")
     pub = curve.point_from_affine_ints(xs, ys)
     return KeyBatch(curve=curve, alg=alg, n=len(xs), priv=None, pub=pub)
 
