@@ -15,6 +15,12 @@ import os
 import sys
 import time
 
+# Persistent XLA/Mosaic compile cache: the fused Pallas point kernels take
+# minutes to compile; cache them across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libecc_axon_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 
 

@@ -82,6 +82,16 @@ class EdwardsCurve:
     def pdbl(self, P):
         return point_dbl(self, P)
 
+    def pdbln_add(self, P, Q, ndbl: int):
+        from ..config import use_pallas
+        if use_pallas():
+            from ..ops.pallas import edpoint
+            if edpoint.supported(self, P) and P.x.shape == Q.x.shape:
+                return edpoint.point_dbln_add(self, P, Q, ndbl)
+        for _ in range(ndbl):
+            P = point_dbl(self, P)
+        return point_add(self, P, Q)
+
     def pinf(self, like=None, batch_shape=()):
         return self.identity(like=like, batch_shape=batch_shape)
 
@@ -95,7 +105,13 @@ def point_add(c: EdwardsCurve, P: ExtPoint, Q: ExtPoint) -> ExtPoint:
     a = -1 fast path: HWCD08 "add-2008-hwcd-3" (8M, strongly unified —
     valid for P = Q and the identity). Generic a: "add-2008-hwcd" (9M +
     1*a + 1*d, unified). Grouped into wide batched multiplies like the
-    Weierstrass formulas."""
+    Weierstrass formulas; ONE fused Pallas kernel on TPU
+    (ops/pallas/edpoint.py)."""
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import edpoint
+        if edpoint.supported(c, P) and P.x.shape == Q.x.shape:
+            return edpoint.point_add(c, P, Q)
     ctx = c.fp_ctx
     ad = lambda u, v: fp.add(u, v, ctx)
     sb = lambda u, v: fp.sub(u, v, ctx)
@@ -140,7 +156,13 @@ def _mul_group(ctx, pairs):
 
 
 def point_dbl(c: EdwardsCurve, P: ExtPoint) -> ExtPoint:
-    """Extended doubling (dbl-2008-hwcd, 4M+4S), any a."""
+    """Extended doubling (dbl-2008-hwcd, 4M+4S), any a.
+    Fused Pallas kernel on TPU (see point_add)."""
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import edpoint
+        if edpoint.supported(c, P):
+            return edpoint.point_dbl(c, P)
     ctx = c.fp_ctx
     ad = lambda u, v: fp.add(u, v, ctx)
     sb = lambda u, v: fp.sub(u, v, ctx)

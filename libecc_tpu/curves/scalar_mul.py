@@ -75,8 +75,143 @@ def double_add_always_mul(c, m, P, nbits: int | None = None):
 
 
 # ---------------------------------------------------------------------------
-# Tables and window digits (public-input throughput paths)
+# Fixed-base comb multiplication (generator tables, no doublings).
+#
+# The generator G is host-known, so all multiples T[j][d] = d * 2^(w*j) * G
+# precompute on host once per (curve, w); k*G then costs nbits/w table
+# lookups + adds and ZERO doublings — the dominant win for keygen, signing
+# (k*G) and the uG term of verification. For SECRET scalars the lookup is
+# a constant-schedule select chain over all 2^w entries (the batched
+# analog of the reference's CT nn_tabselect, src/nn/nn.c:564); public
+# scalars use a plain XLA gather.
 # ---------------------------------------------------------------------------
+
+_COMB_CACHE: dict = {}
+
+
+def _comb_table_host(c, w: int, nbits: int):
+    """Host-precomputed comb table as np.uint32[nwin*2^w, ncoord, K]
+    (Montgomery-domain, Z=1 for affine entries, identity at d=0)."""
+    key = (c.name, w, nbits)
+    if key in _COMB_CACHE:
+        return _COMB_CACHE[key]
+    from ..ref import hostref
+    ctx = c.fp_ctx
+    p = ctx.p_int
+    nwin = -(-nbits // w)
+    rows = []
+    if hasattr(c, "b"):                       # short-Weierstrass
+        ref = hostref.WCurve(p, c.a, c.b, c.gx, c.gy, c.q, c.h)
+        base = (c.gx, c.gy)
+        for j in range(nwin):
+            acc = None
+            for d in range(1 << w):
+                if acc is None:
+                    rows.append((0, 1, 0))    # identity (0:1:0)
+                    acc = "init"
+                elif acc == "init":
+                    acc = base
+                    rows.append((acc[0], acc[1], 1))
+                else:
+                    acc = hostref.ec_add(ref, acc, base)
+                    rows.append((acc[0], acc[1], 1) if acc is not None
+                                else (0, 1, 0))
+            base = hostref.ec_mul(ref, 1 << w, base)
+        ncoord = 3
+    else:                                      # twisted Edwards (x,y,z,t)
+        ref = hostref.EdCurve(p, c.a, c.d, c.gx, c.gy, c.q, c.h)
+        base = (c.gx, c.gy)
+        for j in range(nwin):
+            acc = None
+            for d in range(1 << w):
+                if acc is None:
+                    rows.append((0, 1, 1, 0))
+                    acc = "init"
+                else:
+                    acc = base if acc == "init" else hostref.ed_add(
+                        ref, acc, base)
+                    rows.append((acc[0], acc[1], 1,
+                                 acc[0] * acc[1] % p))
+            base = hostref.ed_mul(ref, 1 << w, base)
+        ncoord = 4
+    k = ctx.k
+    out = np.zeros((len(rows), ncoord, k), np.uint32)
+    for r, coords in enumerate(rows):
+        for ci, v in enumerate(coords):
+            out[r, ci] = nn.to_limbs(v * ctx.R % p, k)
+    _COMB_CACHE[key] = (out, nwin, ncoord)
+    return _COMB_CACHE[key]
+
+
+def _comb_digits(m, nbits: int, w: int, nwin: int):
+    """w-bit digits, LSW first, as int32[nwin, *batch]."""
+    digs = []
+    for widx in range(nwin):
+        lo = widx * w
+        d = jnp.zeros(m.shape[1:], jnp.int32)
+        for j in range(w):
+            if lo + j < nbits:
+                d = d | (nn.get_bit(m, lo + j).astype(jnp.int32) << j)
+        digs.append(d)
+    return digs
+
+
+def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
+                   secret: bool = True):
+    """m*G via the comb table: nbits/w constant-time (or gathered) table
+    lookups + adds, no doublings. m: uint32[Km, *batch] plain scalars.
+
+    secret=True  -> select-chain lookups (constant schedule, every table
+                    entry touched identically for every lane);
+    secret=False -> XLA gather (public-input throughput path).
+    """
+    if nbits is None:
+        nbits = c.scalar_bits()
+    tab_np, nwin, ncoord = _comb_table_host(c, w, nbits)
+    tw = 1 << w
+    n = m.shape[-1]
+    k = c.fp_ctx.k
+    digs = jnp.stack(_comb_digits(m, nbits, w, nwin))   # (nwin, n)
+    tab = jnp.asarray(tab_np).reshape(nwin, tw, ncoord, k)
+    acc = c.pinf(batch_shape=(n,))
+    cls = type(acc)
+    iota = jnp.arange(tw, dtype=jnp.int32)
+
+    def step(carry, xs):
+        window, d = xs                        # (tw, ncoord, K), (n,)
+        if secret:
+            # constant-schedule lookup as a one-hot matmul: every lane
+            # touches every table entry identically (the batched CT
+            # nn_tabselect); limbs < 2^15 so the f32 product is exact
+            # (exactly one nonzero term per output).
+            onehot = (d[None, :] == iota[:, None]).astype(jnp.float32)
+            wf = window.reshape(tw, ncoord * k).astype(jnp.float32)
+            # HIGHEST precision: the TPU's default f32 matmul rounds
+            # operands to bf16, which would corrupt 15-bit limbs
+            sel = jax.lax.dot_general(
+                wf, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            sel = sel.astype(jnp.uint32).reshape(ncoord, k, n)
+        else:
+            picked = jnp.take(window, d, axis=0)      # (n, ncoord, K)
+            sel = jnp.transpose(picked, (1, 2, 0))    # (ncoord, K, n)
+        P = cls(*[sel[i] for i in range(ncoord)])
+        return pstack(c.padd(punstack(cls, carry), P)), None
+
+    out, _ = jax.lax.scan(step, pstack(acc), (tab, digs))
+    return punstack(cls, out)
+
+def fixed_base_double_mul_public(c, u, v, Q, nbits: int | None = None,
+                                 w: int = 4):
+    """u*G + v*Q for PUBLIC scalars: comb-gather for the fixed base G
+    (zero doublings) + windowed mult for the variable base Q, one final
+    add. Replaces joint Straus in verification — fewer adds and half the
+    scan steps (the carry-state HBM round-trip dominates scan cost)."""
+    uG = fixed_base_mul(c, u, nbits=nbits, secret=False)
+    vQ = windowed_mul_public(c, v, Q, nbits=nbits, w=w)
+    return c.padd(uG, vQ)
+
 
 def _window_digits(m, nbits: int, w: int):
     """Split scalar into w-bit windows, MSW first: int32[nwin, *batch]."""
@@ -124,9 +259,7 @@ def windowed_mul_public(c, m, P, nbits: int | None = None, w: int = 4):
 
     def step(carry, d):
         accp = punstack(cls, carry)
-        for _ in range(w):
-            accp = c.pdbl(accp)
-        accp = c.padd(accp, _table_gather(cls, table, d))
+        accp = c.pdbln_add(accp, _table_gather(cls, table, d), w)
         return pstack(accp), None
 
     out, _ = jax.lax.scan(step, pstack(acc), digs)
@@ -152,9 +285,7 @@ def straus_double_mul_public_w4(c, u, P, v, Q, nbits: int | None = None):
     def step(carry, dd):
         d_u, d_v = dd
         accp = punstack(cls, carry)
-        for _ in range(4):
-            accp = c.pdbl(accp)
-        accp = c.padd(accp, _table_gather(cls, ptab, d_u))
+        accp = c.pdbln_add(accp, _table_gather(cls, ptab, d_u), 4)
         accp = c.padd(accp, _table_gather(cls, qtab, d_v))
         return pstack(accp), None
 
@@ -192,9 +323,8 @@ def straus_double_mul_public(c, u, P, v, Q, nbits: int | None = None,
     def step(carry, dd):
         d_u, d_v = dd
         accp = punstack(cls, carry)
-        for _ in range(w):
-            accp = c.pdbl(accp)
-        accp = c.padd(accp, _table_gather(cls, table, d_u * tw + d_v))
+        accp = c.pdbln_add(accp, _table_gather(cls, table, d_u * tw + d_v),
+                           w)
         return pstack(accp), None
 
     out, _ = jax.lax.scan(step, pstack(acc), (du, dv))

@@ -88,6 +88,9 @@ class ShortWCurve:
     def pdbl(self, P):
         return point_dbl(self, P)
 
+    def pdbln_add(self, P, Q, ndbl: int):
+        return point_dbln_add(self, P, Q, ndbl)
+
     def pinf(self, like=None, batch_shape=()):
         return self.infinity(like=like, batch_shape=batch_shape)
 
@@ -171,6 +174,21 @@ def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
         (X3, Z3), (t1n, t4n), (t5, t4n), (t3, X3), (t3, t1n), (t5, Z3),
     ])
     return PrjPoint(sb(x3a, x3b), ad(y3a, y3b), ad(z3a, z3b))
+
+
+def point_dbln_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint,
+                   ndbl: int) -> PrjPoint:
+    """2^ndbl * P + Q — the windowed-mult scan step. On TPU this is ONE
+    fused Pallas kernel (all ndbl+1 formulas' intermediates stay in VMEM);
+    elsewhere it decomposes into the individual complete formulas."""
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import point as ppoint
+        if ppoint.supported(c, P) and P.x.shape == Q.x.shape:
+            return ppoint.point_dbln_add(c, P, Q, ndbl)
+    for _ in range(ndbl):
+        P = point_dbl(c, P)
+    return point_add(c, P, Q)
 
 
 def point_dbl(c: ShortWCurve, P: PrjPoint) -> PrjPoint:

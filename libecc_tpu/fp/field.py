@@ -106,10 +106,20 @@ def neg(a, ctx: FpCtx):
 
 
 def mul(a, b, ctx: FpCtx):
+    from ..config import use_pallas
+    if use_pallas() and a.shape == b.shape:
+        from ..ops.pallas import mont as pmont
+        if pmont.supported(ctx, a.shape):
+            return pmont.mont_mul_relaxed(a, b, ctx)
     return nn.mont_mul_relaxed(a, b, ctx)
 
 
 def sqr(a, ctx: FpCtx):
+    from ..config import use_pallas
+    if use_pallas():
+        from ..ops.pallas import mont as pmont
+        if pmont.supported(ctx, a.shape):
+            return pmont.mont_sqr_relaxed(a, ctx)
     return nn.mont_mul_relaxed(a, a, ctx)
 
 

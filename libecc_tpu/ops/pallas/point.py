@@ -239,6 +239,44 @@ def _build_dbl(curve_key, k):
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _build_dbln_add(curve_key, k, ndbl):
+    """Fused acc' = 2^ndbl * acc + T — the whole windowed-mult scan step
+    as ONE kernel. The accumulator and every intermediate live in VMEM
+    across all ndbl+1 formulas; the XLA formulation round-trips the
+    accumulator (and each formula's outputs) through HBM per point op,
+    which dominates the scan cost."""
+    from ...curves import params
+    curve = params.get_curve(curve_key)
+    C = _curve_consts(curve)
+
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        X, Y, Z = _read(x1, k), _read(y1, k), _read(z1, k)
+        for _ in range(ndbl):
+            X, Y, Z = _dbl_body(C, X, Y, Z)
+        X3, Y3, Z3 = _add_body(C, X, Y, Z,
+                               _read(x2, k), _read(y2, k), _read(z2, k))
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    def call(coords):
+        n = coords[0].shape[-1]
+        g = n // BLOCK
+        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        args = [c.reshape(k, n // LANES, LANES) for c in coords]
+        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
+        outs = pl.pallas_call(
+            kern, grid=(g,),
+            in_specs=[spec] * 6, out_specs=(spec, spec, spec),
+            out_shape=(sds, sds, sds),
+        )(*args)
+        return tuple(o.reshape(k, n) for o in outs)
+
+    return call
+
+
 def supported(curve, P) -> bool:
     return (P.x.ndim == 2 and P.x.shape[-1] % BLOCK == 0
             and getattr(curve.fp_ctx, "relaxed_ok", False))
@@ -253,4 +291,10 @@ def point_add(curve, P, Q):
 def point_dbl(curve, P):
     call = _build_dbl(curve.name, curve.fp_ctx.k)
     x, y, z = call((P.x, P.y, P.z))
+    return type(P)(x, y, z)
+
+
+def point_dbln_add(curve, P, Q, ndbl: int):
+    call = _build_dbln_add(curve.name, curve.fp_ctx.k, ndbl)
+    x, y, z = call((P.x, P.y, P.z, Q.x, Q.y, Q.z))
     return type(P)(x, y, z)

@@ -70,7 +70,10 @@ def sharded_point_sum(mesh: Mesh, curve, P):
     P: point batch with coords (K, N), N divisible by mesh size.
     Returns a replicated 1-point batch.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from ..sig.batch_verify import point_tree_reduce
     from ..curves.group import pstack, punstack
     cls = type(P)

@@ -79,8 +79,7 @@ def _combined_check(curve, zs_dev, e2_dev, Y, R, c_int):
         rhs_lanes = scalar_mul.straus_double_mul_public(curve, zs, Rp,
                                                         e2, Yp)
         rhs = point_tree_reduce(curve, rhs_lanes)
-        G1 = curve.generator(batch_shape=(1,))
-        lhs = scalar_mul.windowed_mul_public(curve, c_dev, G1)
+        lhs = scalar_mul.fixed_base_mul(curve, c_dev, secret=False)
         # projective equality (works for both Weierstrass (X:Y:Z) and
         # Edwards extended (X:Y:Z:T) — compare x/z and y/z)
         ctx = curve.fp_ctx

@@ -103,13 +103,57 @@ def q_mul(a, b, q_ctx: FpCtx):
 
 
 def q_inv(a, q_ctx: FpCtx):
-    """a^-1 mod q (Fermat, constant schedule) on canonical scalars.
-    x = aR; y = mont_pow(x, q-2) = a^(q-2) R; from_mont(y) = a^-1.
-    Returns 0 for a == 0. Reference: nn_modinv_fermat (nn_modinv.c:504)."""
+    """a^-1 mod q on canonical scalars; 0 -> 0 (callers mask separately).
+    Reference: nn_modinv_fermat (nn_modinv.c:504).
+
+    Batches of >= 16 lanes use Montgomery's batch-inversion trick as a
+    lane tree: ONE Fermat ladder on the lane-product plus ~2*log2(N)
+    batched multiplies, instead of a full ~2*|q|-multiply ladder over the
+    whole batch. The schedule is data-independent (zero lanes are swapped
+    for 1 before the tree and masked after), so the secret-input callers
+    (ECDSA k^-1) keep the constant-schedule discipline."""
+    if a.ndim == 2 and a.shape[-1] >= 16:
+        return _q_inv_batched(a, q_ctx)
+    return _q_inv_fermat(a, q_ctx)
+
+
+def _q_inv_fermat(a, q_ctx: FpCtx):
     am = nn.to_mont(a, q_ctx)
     y = _mont_pow_relaxed(am, q_ctx.p_int - 2, q_ctx)
     return nn.canonicalize(nn.mont_mul_relaxed(
         y, _ones_like(y, q_ctx), q_ctx), q_ctx)
+
+
+def _q_inv_batched(a, q_ctx: FpCtx):
+    n = a.shape[-1]
+    zmask = nn.is_zero_mask(a)
+    one_m = jnp.broadcast_to(
+        jnp.asarray(nn.to_limbs(q_ctx.r_int, q_ctx.k)).reshape(q_ctx.k, 1),
+        a.shape)
+    am = jnp.where(zmask[None, :], one_m, nn.to_mont(a, q_ctx))
+    # pad lanes to a power of two with Montgomery ones
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        am = jnp.concatenate([am, one_m[:, : n2 - n]], axis=-1)
+    # up-sweep: pairwise lane products
+    levels = []
+    cur = am
+    while cur.shape[-1] > 1:
+        even, odd = cur[..., 0::2], cur[..., 1::2]
+        levels.append((even, odd))
+        cur = nn.mont_mul_relaxed(even, odd, q_ctx)
+    # invert the single total product (Fermat, width 1)
+    inv = _mont_pow_relaxed(cur, q_ctx.p_int - 2, q_ctx)
+    # down-sweep: child inverse = parent inverse * sibling
+    for even, odd in reversed(levels):
+        ie = nn.mont_mul_relaxed(inv, odd, q_ctx)
+        io = nn.mont_mul_relaxed(inv, even, q_ctx)
+        inv = jnp.stack([ie, io], axis=-1).reshape(ie.shape[:-1]
+                                                   + (2 * ie.shape[-1],))
+    inv = inv[..., :n]
+    out = nn.canonicalize(nn.mont_mul_relaxed(
+        inv, _ones_like(inv, q_ctx), q_ctx), q_ctx)
+    return jnp.where(zmask[None, :], jnp.zeros_like(out), out)
 
 
 def _ones_like(a, ctx):

@@ -36,9 +36,7 @@ def sign_core(curve: ShortWCurve, d, e, k):
     the reference threads the same way via the rand callback,
     ec_self_tests_core.h:34)."""
     q_ctx = curve.q_ctx
-    n = d.shape[-1]
-    G = curve.generator(batch_shape=(n,))
-    W = scalar_mul.ladder_mul(curve, k, G)           # fixed schedule
+    W = scalar_mul.fixed_base_mul(curve, k)          # fixed schedule comb
     wx, _, inf = to_affine_plain(curve, W)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
     kinv = common.q_inv(k, q_ctx)
@@ -50,12 +48,18 @@ def sign_core(curve: ShortWCurve, d, e, k):
 
 def verify_core(curve: ShortWCurve, pub: PrjPoint, e, r, s):
     """Batched ECDSA verify. e, r, s canonical uint32[Kq, N]; pub: points.
-    Returns accept mask. Public-input path: Straus uG+vY (no CT needed —
-    verification inputs are public; reference uses the hardened ladder
-    even here, a large throughput headroom we exploit)."""
+    Returns accept mask. Public-input path: comb(uG) + windowed(vY) (no CT
+    needed — verification inputs are public; reference uses the hardened
+    ladder even here, a large throughput headroom we exploit).
+
+    The final x(W) mod q == r test runs PROJECTIVELY when ceil(p/q) <= 2:
+    accept iff W.X == c*W.Z for a candidate c in {r, r+q} (mod p) — this
+    removes the batched Fermat inversion (~380 field ops) that an affine
+    conversion would cost. Candidates beyond r+q can't occur since any
+    x < p with x = r (mod q) is r + m*q, m < ceil(p/q)."""
+    from ..fp import field as fp
     q_ctx = curve.q_ctx
-    n = r.shape[-1]
-    G = curve.generator(batch_shape=(n,))
+    p_ctx = curve.fp_ctx
     q_arr = jnp.asarray(nn.to_limbs(curve.q, q_ctx.k)).reshape(
         (q_ctx.k,) + (1,) * (r.ndim - 1))
     in_range = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) \
@@ -63,7 +67,34 @@ def verify_core(curve: ShortWCurve, pub: PrjPoint, e, r, s):
     sinv = common.q_inv(s, q_ctx)
     u = common.q_mul(e, sinv, q_ctx)
     v = common.q_mul(r, sinv, q_ctx)
-    W = scalar_mul.straus_double_mul_public(curve, u, G, v, pub)
+    W = scalar_mul.fixed_base_double_mul_public(curve, u, v, pub)
+    p_int, q_int = p_ctx.p_int, curve.q
+    n_cand = (p_int - 1) // q_int + 1
+    if n_cand <= 2:
+        inf = fp.is_zero_mask(W.z, p_ctx)
+        # r as a field element (k_p limbs, Montgomery domain)
+        kp = p_ctx.k
+        r_p = r[:kp] if r.shape[0] >= kp else jnp.concatenate(
+            [r, jnp.zeros((kp - r.shape[0],) + r.shape[1:], r.dtype)])
+        rm = nn.to_mont(r_p, p_ctx)          # r as Montgomery-domain fp
+        hit = fp.eq_mask(W.x, fp.mul(rm, W.z, p_ctx), p_ctx)
+        if q_int > p_int:
+            # r in [p, q) reduces mod p inside rm — such r can never
+            # equal x(W) < p, so mask those lanes out explicitly
+            p_arr = jnp.asarray(nn.to_limbs(p_int, q_ctx.k)).reshape(
+                (q_ctx.k,) + (1,) * (r.ndim - 1))
+            hit = hit & nn.lt_mask(r, p_arr)
+        else:
+            # second candidate x = r + q (only when the integer r+q < p)
+            qm = p_ctx.const(q_int, like=r_p)
+            rq = fp.add(rm, qm, p_ctx)
+            p_minus_q = jnp.asarray(
+                nn.to_limbs(p_int - q_int, q_ctx.k)).reshape(
+                (q_ctx.k,) + (1,) * (r.ndim - 1))
+            rq_ok = nn.lt_mask(r, p_minus_q)
+            hit = hit | (fp.eq_mask(W.x, fp.mul(rq, W.z, p_ctx), p_ctx)
+                         & rq_ok)
+        return in_range & (~inf) & hit
     wx, _, inf = to_affine_plain(curve, W)
     wx_mod_q = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
     return in_range & (~inf) & nn.eq_mask(wx_mod_q, r)

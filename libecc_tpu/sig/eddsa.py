@@ -157,10 +157,8 @@ def decode_core(c: EdwardsCurve, y_limbs, sign):
 
 
 def sign_mul_core(c: EdwardsCurve, r, nbits: int):
-    """R = r*B (fixed-schedule ladder; r derived from secret material)."""
-    n = r.shape[-1]
-    B = c.generator(batch_shape=(n,))
-    R = scalar_mul.ladder_mul(c, r, B, nbits=nbits)
+    """R = r*B (fixed-schedule comb; r derived from secret material)."""
+    R = scalar_mul.fixed_base_mul(c, r, nbits=nbits)
     return encode_core(c, R)
 
 
@@ -181,9 +179,7 @@ def verify_core(c: EdwardsCurve, ay, asign, ry, rsign, S, k):
         (q_ctx.k,) + (1,) * (S.ndim - 1))
     s_ok = nn.lt_mask(S, q_arr)
     negA = ed.point_neg(c, A)
-    n = S.shape[-1]
-    B = c.generator(batch_shape=(n,))
-    W = scalar_mul.straus_double_mul_public(c, S, B, k, negA)
+    W = scalar_mul.fixed_base_double_mul_public(c, S, k, negA)
     xw_zr = fp.mul(W.x, R.z, ctx)
     xr_zw = fp.mul(R.x, W.z, ctx)
     yw_zr = fp.mul(W.y, R.z, ctx)

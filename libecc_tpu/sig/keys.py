@@ -41,11 +41,9 @@ class KeyBatch:
 
 
 def generic_init_pub(curve: ShortWCurve, priv) -> PrjPoint:
-    """Y = x*G via the constant-schedule ladder (reference:
+    """Y = x*G via the constant-schedule fixed-base comb (reference:
     init_pubkey_from_privkey -> prj_pt_mul_blind, ecdsa_common.c:172)."""
-    n = priv.shape[-1]
-    G = curve.generator(batch_shape=(n,))
-    return scalar_mul.ladder_mul(curve, priv, G)
+    return scalar_mul.fixed_base_mul(curve, priv)
 
 
 def keygen(curve: ShortWCurve, alg: str, n: int, rng=None,

@@ -40,9 +40,7 @@ def kg_affine(curve: ShortWCurve, k):
     our lane-batched ladder is constant-schedule by construction)."""
     def make():
         def f(k):
-            n = k.shape[-1]
-            G = curve.generator(batch_shape=(n,))
-            W = scalar_mul.ladder_mul(curve, k, G)
+            W = scalar_mul.fixed_base_mul(curve, k)
             return to_affine_plain(curve, W)
         return f
     return cached_jit((curve.name, "kg_affine"), make)(k)
@@ -54,10 +52,8 @@ def straus_affine(curve: ShortWCurve, u, v, pub: PrjPoint):
     double ladder in verify, ecdsa_common.c:788-800)."""
     def make():
         def f(u, v, px, py, pz):
-            n = u.shape[-1]
-            G = curve.generator(batch_shape=(n,))
-            W = scalar_mul.straus_double_mul_public(
-                curve, u, G, v, PrjPoint(px, py, pz))
+            W = scalar_mul.fixed_base_double_mul_public(
+                curve, u, v, PrjPoint(px, py, pz))
             return to_affine_plain(curve, W)
         return f
     return cached_jit((curve.name, "straus_affine"), make)(

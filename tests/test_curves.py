@@ -109,6 +109,34 @@ def test_scalar_mult_edge_scalars(setup):
         assert (xs[i], ys[i]) == hostref.ec_mul(rc, mi, (c.gx, c.gy))
 
 
+@pytest.mark.parametrize("secret", [True, False])
+def test_fixed_base_comb(setup, secret):
+    """Comb k*G (secret select-chain + public gather) vs host oracle,
+    including edge scalars 1 and q-1."""
+    c, rc, ks, ls, Ps, Qs, Pd, Qd = setup
+    ms = ks[:2] + [1, c.q - 1]
+    m = nn.batch_to_limbs(ms, c.q_ctx.k)
+    f = jax.jit(lambda m: shortw.to_affine(
+        c, scalar_mul.fixed_base_mul(c, m, secret=secret)))
+    x, y, _ = f(m)
+    xs, ys = c.fp_ctx.to_ints(x), c.fp_ctx.to_ints(y)
+    for i, mi in enumerate(ms):
+        assert (xs[i], ys[i]) == hostref.ec_mul(rc, mi, (c.gx, c.gy))
+
+
+def test_fixed_base_double_mul(setup):
+    c, rc, ks, ls, Ps, Qs, Pd, Qd = setup
+    f = jax.jit(lambda u, v, Q: shortw.to_affine(
+        c, scalar_mul.fixed_base_double_mul_public(c, u, v, Q)))
+    u = nn.batch_to_limbs(ks, c.q_ctx.k)
+    v = nn.batch_to_limbs(ls, c.q_ctx.k)
+    x, y, _ = f(u, v, Qd)
+    xs, ys = c.fp_ctx.to_ints(x), c.fp_ctx.to_ints(y)
+    for i in range(N):
+        want = hostref.ec_add(rc, Ps[i], hostref.ec_mul(rc, ls[i], Qs[i]))
+        assert (xs[i], ys[i]) == want
+
+
 def test_straus_double_mul(setup):
     c, rc, ks, ls, Ps, Qs, Pd, Qd = setup
     f = jax.jit(lambda u, P, v, Q: shortw.to_affine(

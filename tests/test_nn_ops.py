@@ -126,3 +126,20 @@ def test_bitlen_clz():
     for i in range(N):
         assert bl[i] == a[i].bit_length(), (i, a[i])
         assert cz[i] == BITS - a[i].bit_length()
+
+
+def test_q_inv_batched_matches_fermat():
+    """Montgomery batch inversion (lane tree, N >= 16) vs per-lane Fermat
+    and host pow; includes 0 (-> 0), 1, q-1 and a non-power-of-two N."""
+    from libecc_tpu.fp.field import FpCtx
+    from libecc_tpu.sig import common
+    q = 0xffffffff00000000ffffffffffffffffbce6faada7179e84f3b9cac2fc632551
+    ctx = FpCtx(q)
+    r = random.Random(0xBEEF)
+    vals = [r.randrange(1, q) for _ in range(37)] + [0, 1, q - 1]
+    a = jnp.asarray(nn.batch_to_limbs(vals, ctx.k))
+    out = nn.batch_from_limbs(np.asarray(common._q_inv_batched(a, ctx)))
+    ref = nn.batch_from_limbs(np.asarray(common._q_inv_fermat(a, ctx)))
+    for v, o, f in zip(vals, out, ref):
+        assert o == f
+        assert o == (0 if v == 0 else pow(v, -1, q))
