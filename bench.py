@@ -64,14 +64,16 @@ def main():
 
     args = (blocks, kb.pub.x, kb.pub.y, kb.pub.z, r, s)
     acc = verify_pipeline(*args)                       # compile + warm
-    acc.block_until_ready()
     assert bool(np.asarray(acc).all()), "verification failed in bench"
 
+    # NB: sync via host transfer (np.asarray) each iteration —
+    # block_until_ready does not reliably drain the TPU tunnel.
     t0 = time.perf_counter()
     for _ in range(iters):
         acc = verify_pipeline(*args)
-    acc.block_until_ready()
+        ok = bool(np.asarray(acc).all())
     dt = (time.perf_counter() - t0) / iters
+    assert ok
     rate = n / dt
 
     baseline = 355.0  # libecc verify ops/s/core (BASELINE.md)

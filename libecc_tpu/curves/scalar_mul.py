@@ -239,11 +239,18 @@ def _build_mul_table(c, P, size: int):
 
 def _table_gather(cls, table, idx):
     """table: (T, nc, K, *batch); idx: int32[*batch] -> point.
-    Per-lane gather along the table axis (batched analog of the reference's
-    CT nn_tabselect, src/nn/nn.c:564)."""
-    idxb = idx.reshape((1, 1, 1) + idx.shape)
-    idxb = jnp.broadcast_to(idxb, (1,) + table.shape[1:])
-    picked = jnp.take_along_axis(table, idxb, axis=0)[0]
+    Per-lane selection along the table axis (batched analog of the
+    reference's CT nn_tabselect, src/nn/nn.c:564).
+
+    Implemented as a one-hot masked sum, NOT take_along_axis: a dynamic
+    per-lane gather lowers to scatter/gather loops on TPU, while the
+    masked sum is one fused linear pass over the T=2^w table entries
+    (T*nc*K*N u32 mul+adds, trivially vectorized). It is also constant
+    schedule for free."""
+    T = table.shape[0]
+    iota = jnp.arange(T, dtype=idx.dtype).reshape((T, 1, 1) + (1,) * idx.ndim)
+    mask = (iota == idx[None, None, None]).astype(table.dtype)
+    picked = (table * mask).sum(axis=0)
     return punstack(cls, picked)
 
 

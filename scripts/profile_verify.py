@@ -25,13 +25,16 @@ from libecc_tpu.hash.registry import get_hash
 from libecc_tpu.nn import core as nn
 
 
+def _sync(out):
+    # host transfer is the only reliable device sync through the tunnel
+    jax.tree_util.tree_map(lambda x: np.asarray(x), out)
+
+
 def timeit(f, *a, iters=5):
-    out = f(*a)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    _sync(f(*a))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*a)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        _sync(f(*a))
     return (time.perf_counter() - t0) / iters
 
 
