@@ -25,8 +25,8 @@ import numpy as np
 
 
 def main():
-    n = int(os.environ.get("BENCH_BATCH", "2048"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    n = int(os.environ.get("BENCH_BATCH", "8192"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     import jax
     import jax.numpy as jnp
     from libecc_tpu.curves import params
@@ -57,23 +57,31 @@ def main():
         [int.from_bytes(s[32:], "big") for s in sigs], q_ctx.k))
 
     @jax.jit
-    def verify_pipeline(blocks, px, py, pz, r, s):
+    def verify_pipeline(blocks, px, py, pz, r, s, tok):
+        # tok chains the previous iteration's accept count into this
+        # dispatch so pipelined iterations are data-dependent (the runtime
+        # cannot elide or reorder them); the where() is a no-op on values.
         words = sha.device_fn(blocks)                  # device hashing
         e = e_from_digest_bits(words, 256, q_ctx)
-        return ecdsa.verify_core(c, PrjPoint(px, py, pz), e, r, s)
+        r_dep = jnp.where(tok <= jnp.uint32(n), r, r + 1)
+        acc = ecdsa.verify_core(c, PrjPoint(px, py, pz), e, r_dep, s)
+        return acc, jnp.sum(acc.astype(jnp.uint32))
 
     args = (blocks, kb.pub.x, kb.pub.y, kb.pub.z, r, s)
-    acc = verify_pipeline(*args)                       # compile + warm
+    tok = jnp.uint32(0)
+    acc, tok = verify_pipeline(*args, tok)             # compile + warm
     assert bool(np.asarray(acc).all()), "verification failed in bench"
 
-    # NB: sync via host transfer (np.asarray) each iteration —
-    # block_until_ready does not reliably drain the TPU tunnel.
+    # Throughput protocol: keep `iters` batches in flight (device-resident
+    # token chaining, no per-iteration host round trip), ONE host-transfer
+    # sync at the end — block_until_ready does not reliably drain the
+    # device queue, so the sync must be a transfer.
     t0 = time.perf_counter()
     for _ in range(iters):
-        acc = verify_pipeline(*args)
-        ok = bool(np.asarray(acc).all())
+        acc, tok = verify_pipeline(*args, tok)
+    n_ok = int(np.asarray(tok))
     dt = (time.perf_counter() - t0) / iters
-    assert ok
+    assert n_ok == n, f"verified {n_ok}/{n}"
     rate = n / dt
 
     baseline = 355.0  # libecc verify ops/s/core (BASELINE.md)

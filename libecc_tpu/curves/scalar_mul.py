@@ -163,7 +163,10 @@ def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
 
     secret=True  -> select-chain lookups (constant schedule, every table
                     entry touched identically for every lane);
-    secret=False -> XLA gather (public-input throughput path).
+    secret=False -> same one-hot MXU matmul lookup: measured faster than
+                    a per-lane row gather on TPU (gathers lower badly),
+                    so the public path shares it; the flag is kept for
+                    API clarity at call sites.
     """
     if nbits is None:
         nbits = c.scalar_bits()
@@ -179,23 +182,19 @@ def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
 
     def step(carry, xs):
         window, d = xs                        # (tw, ncoord, K), (n,)
-        if secret:
-            # constant-schedule lookup as a one-hot matmul: every lane
-            # touches every table entry identically (the batched CT
-            # nn_tabselect); limbs < 2^15 so the f32 product is exact
-            # (exactly one nonzero term per output).
-            onehot = (d[None, :] == iota[:, None]).astype(jnp.float32)
-            wf = window.reshape(tw, ncoord * k).astype(jnp.float32)
-            # HIGHEST precision: the TPU's default f32 matmul rounds
-            # operands to bf16, which would corrupt 15-bit limbs
-            sel = jax.lax.dot_general(
-                wf, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            sel = sel.astype(jnp.uint32).reshape(ncoord, k, n)
-        else:
-            picked = jnp.take(window, d, axis=0)      # (n, ncoord, K)
-            sel = jnp.transpose(picked, (1, 2, 0))    # (ncoord, K, n)
+        # constant-schedule lookup as a one-hot matmul: every lane
+        # touches every table entry identically (the batched CT
+        # nn_tabselect); limbs < 2^15 so the f32 product is exact
+        # (exactly one nonzero term per output).
+        onehot = (d[None, :] == iota[:, None]).astype(jnp.float32)
+        wf = window.reshape(tw, ncoord * k).astype(jnp.float32)
+        # HIGHEST precision: the TPU's default f32 matmul rounds
+        # operands to bf16, which would corrupt 15-bit limbs
+        sel = jax.lax.dot_general(
+            wf, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        sel = sel.astype(jnp.uint32).reshape(ncoord, k, n)
         P = cls(*[sel[i] for i in range(ncoord)])
         return pstack(c.padd(punstack(cls, carry), P)), None
 
