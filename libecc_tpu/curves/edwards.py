@@ -50,6 +50,7 @@ class EdwardsCurve:
             self.q_ctx = FpCtx(self.q)
         p = self.fp_ctx.p_int
         self.a_is_m1 = (self.a % p) == (p - 1)
+        self.a_is_1 = (self.a % p) == 1
         self.d2 = (2 * self.d) % p
 
     def point_from_affine_ints(self, xs, ys) -> ExtPoint:
@@ -143,7 +144,8 @@ def point_add(c: EdwardsCurve, P: ExtPoint, Q: ExtPoint) -> ExtPoint:
     E = sb(sb(E0, A), B)
     F = sb(Dm, Cm)
     G = ad(Dm, Cm)
-    H = sb(B, fp.mul(Ka, A, ctx))
+    aA = A if c.a_is_1 else fp.mul(Ka, A, ctx)   # a = 1 (Ed448): skip mul
+    H = sb(B, aA)
     X3, Y3, T3, Z3 = _mul_group(ctx, [(E, F), (G, H), (E, H), (F, G)])
     return ExtPoint(X3, Y3, Z3, T3)
 
@@ -171,7 +173,7 @@ def point_dbl(c: EdwardsCurve, P: ExtPoint) -> ExtPoint:
     A, B, Cs, E0 = _mul_group(ctx, [
         (X1, X1), (Y1, Y1), (Z1, Z1), (ad(X1, Y1), ad(X1, Y1)),
     ])
-    D = fp.mul(Ka, A, ctx)
+    D = A if c.a_is_1 else fp.mul(Ka, A, ctx)    # a = 1 (Ed448): skip mul
     E = sb(sb(E0, A), B)
     G = ad(D, B)
     F = sb(G, ad(Cs, Cs))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..fp import field as fp
 from ..fp.field import FpCtx
+from ..nn import core as nn
 
 
 class PrjPoint(NamedTuple):
@@ -162,14 +163,46 @@ def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
     t3 = sb(m3, ad(t0, t1))                 # X1*Y2 + X2*Y1
     t4 = sb(m4, ad(t0, t2))                 # X1*Z2 + X2*Z1
     t5 = sb(m5, ad(t1, t2))                 # Y1*Z2 + Y2*Z1
-    at4, b3t2, at2, b3t4, at0, a2t2 = _mul_group(ctx, [
-        (A, t4), (B3, t2), (A, t2), (B3, t4), (A, t0), (A2, t2),
-    ])
-    Z3 = ad(at4, b3t2)
-    X3 = sb(t1, Z3)
-    Z3 = ad(t1, Z3)
-    t1n = ad(ad(ad(t0, t0), t0), at2)       # 3*t0 + a*t2
-    t4n = ad(b3t4, sb(at0, a2t2))           # b3*t4 + a*(t0 - a*t2)
+    if c.a_is_0:
+        # a = 0 (secp256k1 class): all a-terms vanish
+        b3t2, b3t4 = _mul_group(ctx, [(B3, t2), (B3, t4)])
+        Z3 = b3t2
+        X3 = sb(t1, Z3)
+        Z3 = ad(t1, Z3)
+        t1n = ad(ad(t0, t0), t0)            # 3*t0
+        t4n = b3t4
+    elif c.a_is_m3:
+        # a = -3 (NIST/Brainpool class): a*t = -(3t), a^2*t = 9t — adds
+        # replace 4 constant field multiplies. The signs are folded into
+        # the combining subtractions so every subtrahend stays a small
+        # multiple of a multiply output (complement-subtraction contract:
+        # subtrahend limbs <= 2^17-1 AND value within the kc-limb window;
+        # negated values carry the ~2^(15kc+2) complement offset and must
+        # never land in a subtrahend).
+        b3t2, b3t4 = _mul_group(ctx, [(B3, t2), (B3, t4)])
+        m4_3 = ad(ad(m4, m4), m4)                      # 3*m4, limbs ok
+        s02 = ad(t0, t2)
+        s02_3 = nn.relax_once(ad(ad(s02, s02), s02))   # 3*(t0+t2)
+        t0_3 = ad(ad(t0, t0), t0)
+        t2_3 = ad(ad(t2, t2), t2)
+        t8 = ad(ad(t2, t2), ad(t2, t2))
+        t2_9 = ad(ad(t8, t8), t2)                      # 9*t2
+        # Z3(pre) = -3*t4 + b3*t2 = b3*t2 - 3*m4 + 3*(t0+t2)
+        Z3 = ad(sb(b3t2, m4_3), s02_3)
+        # X3 = t1 - Z3(pre) = (t1 - b3*t2) + 3*m4 - 3*(t0+t2)
+        X3 = sb(ad(sb(t1, b3t2), m4_3), s02_3)
+        Z3 = ad(t1, Z3)
+        t1n = sb(t0_3, nn.relax_once(t2_3))            # 3*t0 - 3*t2
+        t4n = sb(b3t4, nn.relax_once(ad(t0_3, t2_9)))  # b3*t4 - 3*t0 - 9*t2
+    else:
+        at4, b3t2, at2, b3t4, at0, a2t2 = _mul_group(ctx, [
+            (A, t4), (B3, t2), (A, t2), (B3, t4), (A, t0), (A2, t2),
+        ])
+        Z3 = ad(at4, b3t2)
+        X3 = sb(t1, Z3)
+        Z3 = ad(t1, Z3)
+        t1n = ad(ad(ad(t0, t0), t0), at2)   # 3*t0 + a*t2
+        t4n = ad(b3t4, sb(at0, a2t2))       # b3*t4 + a*(t0 - a*t2)
     y3a, y3b, x3b, x3a, z3b, z3a = _mul_group(ctx, [
         (X3, Z3), (t1n, t4n), (t5, t4n), (t3, X3), (t3, t1n), (t5, Z3),
     ])
@@ -213,14 +246,38 @@ def point_dbl(c: ShortWCurve, P: PrjPoint) -> PrjPoint:
     ])
     t3 = ad(xy, xy)                          # 2XY
     Z3w = ad(xz, xz)                         # 2XZ
-    az3, b3t2, b3z3, at2, at0, a2t2 = _mul_group(ctx, [
-        (A, Z3w), (B3, t2), (B3, Z3w), (A, t2), (A, t0), (A2, t2),
-    ])
-    Y3w = ad(az3, b3t2)
-    X3w = sb(t1, Y3w)                        # t1 - Y3
-    Y3w = ad(t1, Y3w)                        # t1 + Y3
-    t3n = ad(sb(at0, a2t2), b3z3)            # a*(t0 - a*t2) + b3*Z3
-    t0n = ad(ad(ad(t0, t0), t0), at2)        # 3*t0 + a*t2
+    if c.a_is_0:
+        b3t2, b3z3 = _mul_group(ctx, [(B3, t2), (B3, Z3w)])
+        Y3w = b3t2
+        X3w = sb(t1, Y3w)
+        Y3w = ad(t1, Y3w)
+        t3n = b3z3
+        t0n = ad(ad(t0, t0), t0)             # 3*t0
+    elif c.a_is_m3:
+        # same sign-folding discipline as point_add: subtrahends are small
+        # multiples of multiply outputs only
+        b3t2, b3z3 = _mul_group(ctx, [(B3, t2), (B3, Z3w)])
+        z3x3 = nn.relax_once(ad(ad(Z3w, Z3w), Z3w))    # 3*(2XZ)
+        t0_3 = ad(ad(t0, t0), t0)
+        t2_3 = ad(ad(t2, t2), t2)
+        t8 = ad(ad(t2, t2), ad(t2, t2))
+        t2_9 = ad(ad(t8, t8), t2)                      # 9*t2
+        # Y3(pre) = a*Z3w + b3*t2 = b3*t2 - 3*Z3w
+        Y3w = sb(b3t2, z3x3)
+        # X3w = t1 - Y3(pre) = (t1 - b3*t2) + 3*Z3w
+        X3w = ad(sb(t1, b3t2), z3x3)
+        Y3w = ad(t1, Y3w)
+        t3n = sb(b3z3, nn.relax_once(ad(t0_3, t2_9)))  # b3*Z3w - 3t0 - 9t2
+        t0n = sb(t0_3, nn.relax_once(t2_3))            # 3*t0 - 3*t2
+    else:
+        az3, b3t2, b3z3, at2, at0, a2t2 = _mul_group(ctx, [
+            (A, Z3w), (B3, t2), (B3, Z3w), (A, t2), (A, t0), (A2, t2),
+        ])
+        Y3w = ad(az3, b3t2)
+        X3w = sb(t1, Y3w)                    # t1 - Y3
+        Y3w = ad(t1, Y3w)                    # t1 + Y3
+        t3n = ad(sb(at0, a2t2), b3z3)        # a*(t0 - a*t2) + b3*Z3
+        t0n = ad(ad(ad(t0, t0), t0), at2)    # 3*t0 + a*t2
     t2d = ad(yz, yz)                         # 2YZ
     y3m, y3t, x3t, x3m, z3m = _mul_group(ctx, [
         (X3w, Y3w), (t0n, t3n), (t2d, t3n), (t3, X3w), (t2d, t1),

@@ -39,6 +39,7 @@ def _consts(curve):
         sub_cc=int(ctx.sub_cc),
         sub_c0=tuple(int(x) for x in ctx.sub_c0),
         a_is_m1=bool(curve.a_is_m1),
+        a_is_1=(curve.a % p) == 1,
         A=mont_limbs(curve.a),
         D=mont_limbs(curve.d),
         D2=mont_limbs(2 * curve.d),
@@ -74,7 +75,7 @@ def _add_body(C, X1, Y1, Z1, T1, X2, Y2, Z2, T2):
     E = sb(sb(E0, A), B)
     F = sb(Dm, Cm)
     G = ad(Dm, Cm)
-    H = sb(B, mc(A, C["A"]))
+    H = sb(B, A) if C["a_is_1"] else sb(B, mc(A, C["A"]))
     return mul(E, F), mul(G, H), mul(F, G), mul(E, H)
 
 
@@ -85,7 +86,7 @@ def _dbl_body(C, X1, Y1, Z1):
     Cs = mul(Z1, Z1)
     xy = ad(X1, Y1)
     E0 = mul(xy, xy)
-    D = mc(A, C["A"])
+    D = A if C["a_is_1"] else mc(A, C["A"])
     E = sb(sb(E0, A), B)
     G = ad(D, B)
     F = sb(G, ad(Cs, Cs))

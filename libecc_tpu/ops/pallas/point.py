@@ -101,17 +101,42 @@ def _add_body(C, X1, Y1, Z1, X2, Y2, Z2):
     t3 = sb(m3, ad(t0, t1))
     t4 = sb(m4, ad(t0, t2))
     t5 = sb(m5, ad(t1, t2))
-    at4 = mc(t4, C["A"])
     b3t2 = mc(t2, C["B3"])
-    at2 = mc(t2, C["A"])
     b3t4 = mc(t4, C["B3"])
-    at0 = mc(t0, C["A"])
-    a2t2 = mc(t2, C["A2"])
-    Z3 = ad(at4, b3t2)
-    X3 = sb(t1, Z3)
-    Z3 = ad(t1, Z3)
-    t1n = ad(ad(ad(t0, t0), t0), at2)
-    t4n = ad(b3t4, sb(at0, a2t2))
+    if C["a_is_0"]:
+        # a = 0: all a-terms vanish (same specialization as
+        # curves/shortw.py point_add)
+        Z3 = b3t2
+        X3 = sb(t1, Z3)
+        Z3 = ad(t1, Z3)
+        t1n = ad(ad(t0, t0), t0)
+        t4n = b3t4
+    elif C["a_is_m3"]:
+        # a = -3: sign-folded add chains; structure and bounds mirror
+        # curves/shortw.py point_add exactly (subtrahends = small
+        # multiples of multiply outputs only)
+        m4_3 = ad(ad(m4, m4), m4)
+        s02 = ad(t0, t2)
+        s02_3 = _relax(ad(ad(s02, s02), s02))
+        t0_3 = ad(ad(t0, t0), t0)
+        t2_3 = ad(ad(t2, t2), t2)
+        t8 = ad(ad(t2, t2), ad(t2, t2))
+        t2_9 = ad(ad(t8, t8), t2)
+        Z3 = ad(sb(b3t2, m4_3), s02_3)
+        X3 = sb(ad(sb(t1, b3t2), m4_3), s02_3)
+        Z3 = ad(t1, Z3)
+        t1n = sb(t0_3, _relax(t2_3))
+        t4n = sb(b3t4, _relax(ad(t0_3, t2_9)))
+    else:
+        at4 = mc(t4, C["A"])
+        at2 = mc(t2, C["A"])
+        at0 = mc(t0, C["A"])
+        a2t2 = mc(t2, C["A2"])
+        Z3 = ad(at4, b3t2)
+        X3 = sb(t1, Z3)
+        Z3 = ad(t1, Z3)
+        t1n = ad(ad(ad(t0, t0), t0), at2)
+        t4n = ad(b3t4, sb(at0, a2t2))
     y3a = mul(X3, Z3)
     y3b = mul(t1n, t4n)
     x3b = mul(t5, t4n)
@@ -135,17 +160,35 @@ def _dbl_body(C, X, Y, Z):
     yz = mul(Y, Z)
     t3 = ad(xy, xy)
     Z3w = ad(xz, xz)
-    az3 = mc(Z3w, C["A"])
     b3t2 = mc(t2, C["B3"])
     b3z3 = mc(Z3w, C["B3"])
-    at2 = mc(t2, C["A"])
-    at0 = mc(t0, C["A"])
-    a2t2 = mc(t2, C["A2"])
-    Y3w = ad(az3, b3t2)
-    X3w = sb(t1, Y3w)
-    Y3w = ad(t1, Y3w)
-    t3n = ad(sb(at0, a2t2), b3z3)
-    t0n = ad(ad(ad(t0, t0), t0), at2)
+    if C["a_is_0"]:
+        Y3w = b3t2
+        X3w = sb(t1, Y3w)
+        Y3w = ad(t1, Y3w)
+        t3n = b3z3
+        t0n = ad(ad(t0, t0), t0)
+    elif C["a_is_m3"]:
+        z3x3 = _relax(ad(ad(Z3w, Z3w), Z3w))
+        t0_3 = ad(ad(t0, t0), t0)
+        t2_3 = ad(ad(t2, t2), t2)
+        t8 = ad(ad(t2, t2), ad(t2, t2))
+        t2_9 = ad(ad(t8, t8), t2)
+        Y3w = sb(b3t2, z3x3)
+        X3w = ad(sb(t1, b3t2), z3x3)
+        Y3w = ad(t1, Y3w)
+        t3n = sb(b3z3, _relax(ad(t0_3, t2_9)))
+        t0n = sb(t0_3, _relax(t2_3))
+    else:
+        az3 = mc(Z3w, C["A"])
+        at2 = mc(t2, C["A"])
+        at0 = mc(t0, C["A"])
+        a2t2 = mc(t2, C["A2"])
+        Y3w = ad(az3, b3t2)
+        X3w = sb(t1, Y3w)
+        Y3w = ad(t1, Y3w)
+        t3n = ad(sb(at0, a2t2), b3z3)
+        t0n = ad(ad(ad(t0, t0), t0), at2)
     t2d = ad(yz, yz)
     y3m = mul(X3w, Y3w)
     y3t = mul(t0n, t3n)
@@ -177,6 +220,8 @@ def _curve_consts(curve):
         A=mont_limbs(curve.a % p),
         A2=mont_limbs(curve.a2),
         B3=mont_limbs(curve.b3),
+        a_is_0=bool(curve.a_is_0),
+        a_is_m3=bool(curve.a_is_m3),
     )
 
 
