@@ -59,17 +59,26 @@ def main():
         [int.from_bytes(s[32:], "big") for s in sigs], q_ctx.k))
     e = e_from_digest_bits(jnp.asarray(sha.device_fn(blocks)), 256, q_ctx)
 
+    def ck(f):
+        # reduce outputs to one word on device: stage timings must not
+        # include transferring megabyte outputs through the tunnel
+        def g(*a):
+            out = f(*a)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(x.astype(jnp.uint32)) for x in leaves)
+        return jax.jit(g)
+
     stages = {
-        "hash": jax.jit(lambda b: sha.device_fn(b)),
-        "qinv_batched": jax.jit(lambda s: common.q_inv(s, q_ctx)),
-        "comb_uG_public": jax.jit(
+        "hash": ck(lambda b: sha.device_fn(b)),
+        "qinv_batched": ck(lambda s: common.q_inv(s, q_ctx)),
+        "comb_uG_public": ck(
             lambda u: scalar_mul.fixed_base_mul(c, u, secret=False)),
-        "comb_kG_secret": jax.jit(
+        "comb_kG_secret": ck(
             lambda u: scalar_mul.fixed_base_mul(c, u, secret=True)),
-        "windowed_vY_w4": jax.jit(
+        "windowed_vY_w4": ck(
             lambda v, px, py, pz: scalar_mul.windowed_mul_public(
                 c, v, PrjPoint(px, py, pz))),
-        "full_verify": jax.jit(
+        "full_verify": ck(
             lambda px, py, pz, e, r, s: ecdsa.verify_core(
                 c, PrjPoint(px, py, pz), e, r, s)),
     }
