@@ -47,9 +47,16 @@ def e_from_digest_bits(words, digest_bits: int, q_ctx: FpCtx,
     """
     if q_bits is None:
         q_bits = q_ctx.bits
-    e = nn.be_words_to_limbs(words, words.shape[0] * 32, q_ctx.k)
     if digest_bits > q_bits:
+        # widen so the digest's HIGH bits survive the radix conversion,
+        # shift down to the leftmost q_bits, then narrow to scalar width
+        k_wide = max(q_ctx.k,
+                     (digest_bits + nn.LIMB_BITS - 1) // nn.LIMB_BITS)
+        e = nn.be_words_to_limbs(words, words.shape[0] * 32, k_wide)
         e = nn.rshift(e, digest_bits - q_bits)
+        e = e[:q_ctx.k]
+    else:
+        e = nn.be_words_to_limbs(words, words.shape[0] * 32, q_ctx.k)
     return nn.mod_reduce_once(e, q_ctx)
 
 
