@@ -157,7 +157,7 @@ def _comb_digits(m, nbits: int, w: int, nwin: int):
 
 
 def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
-                   secret: bool = True):
+                   secret: bool = True, lam=None):
     """m*G via the comb table: nbits/w constant-time (or gathered) table
     lookups + adds, no doublings. m: uint32[Km, *batch] plain scalars.
 
@@ -167,6 +167,12 @@ def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
                     a per-lane row gather on TPU (gathers lower badly),
                     so the public path shares it; the flag is kept for
                     API clarity at call sites.
+    lam: optional Montgomery-domain uint32[Kp, *batch] random field
+    elements — projective-coordinate blinding (the reference's
+    _blind_projective_point, prj_pt.c:1266): the accumulator starts from
+    the lam-scaled identity representative, so every intermediate
+    projective representative is randomized; the final affine divide
+    removes lam. Output VALUES are unchanged.
     """
     if nbits is None:
         nbits = c.scalar_bits()
@@ -178,6 +184,9 @@ def fixed_base_mul(c, m, nbits: int | None = None, w: int = 8,
     tab = jnp.asarray(tab_np).reshape(nwin, tw, ncoord, k)
     acc = c.pinf(batch_shape=(n,))
     cls = type(acc)
+    if lam is not None:
+        from ..fp import field as fp
+        acc = cls(*[fp.mul(coord, lam, c.fp_ctx) for coord in acc])
     iota = jnp.arange(tw, dtype=jnp.int32)
 
     def step(carry, xs):

@@ -41,6 +41,54 @@ def tagged_hash(alg, tag: bytes, *chunks: bytes) -> bytes:
     return st.digest()
 
 
+def import_xonly_pub(curve: ShortWCurve, xonly: list[bytes]) -> KeyBatch:
+    """Import 32-byte x-only public keys (BIP-340 lift_x: y = even sqrt of
+    x^3 + ax + b; reject x >= p or non-residue — the Wycheproof bad-pubkey
+    class). Reference: bip0340.c verify entry point."""
+    from .keys import pubkey_batch_from_affine_ints
+    p = curve.fp_ctx.p_int
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    xs, ys = [], []
+    for b in xonly:
+        if len(b) != p_len:
+            raise ValueError("x-only pubkey must be field-element sized")
+        x = int.from_bytes(b, "big")
+        if x >= p:
+            raise ValueError("x-only pubkey out of field range")
+        rhs = (pow(x, 3, p) + curve.a * x + curve.b) % p
+        y = pow(rhs, (p + 1) // 4, p) if p % 4 == 3 else _sqrt_ts(rhs, p)
+        if y * y % p != rhs:
+            raise ValueError("x-only pubkey not on curve (lift_x failed)")
+        ys.append(y if y % 2 == 0 else p - y)
+        xs.append(x)
+    return pubkey_batch_from_affine_ints(curve, "BIP0340", xs, ys)
+
+
+def _sqrt_ts(n: int, p: int) -> int:
+    """Host Tonelli-Shanks for p % 4 != 3 (rare curve case)."""
+    if n == 0:
+        return 0
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(n, q, p), pow(n, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+            if i == m:
+                return 0
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, r = t * c % p, r * b % p
+    return r
+
+
 def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
                aux=None, adata=None):
     """nonces: optional list[int] directly forcing k0 (KAT injection of the

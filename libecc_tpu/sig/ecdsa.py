@@ -46,6 +46,28 @@ def sign_core(curve: ShortWCurve, d, e, k):
     return r, s, ok
 
 
+def sign_core_blind(curve: ShortWCurve, d, e, k, k_wide, b, lam):
+    """Blinded batched ECDSA sign — identical OUTPUT bytes to sign_core,
+    with the reference's three USE_SIG_BLINDING countermeasures
+    (ecdsa_common.c:466-531, prj_pt.c:1266,:1782):
+      * scalar blinding: the ladder runs over k + b*q (k_wide);
+      * projective blinding: accumulator representative scaled by lam;
+      * masked finalize: s = (b*k)^-1 * (d*(b*r) + b*e) — the secret k
+        and the product r*d are never manipulated unmasked."""
+    from . import wcore as _w
+    q_ctx = curve.q_ctx
+    wx, _, inf = _w.kg_affine_blind(curve, k_wide, lam)
+    r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    r_b = common.q_mul(r, b, q_ctx)
+    e_b = common.q_mul(e, b, q_ctx)
+    k_b = common.q_mul(k, b, q_ctx)
+    kinv = common.q_inv(k_b, q_ctx)
+    s = common.q_mul(kinv, common.q_add(common.q_mul(d, r_b, q_ctx),
+                                        e_b, q_ctx), q_ctx)
+    ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
+    return r, s, ok
+
+
 def verify_core(curve: ShortWCurve, pub: PrjPoint, e, r, s):
     """Batched ECDSA verify. e, r, s canonical uint32[Kq, N]; pub: points.
     Returns accept mask. Public-input path: comb(uG) + windowed(vY) (no CT
@@ -161,9 +183,13 @@ _VERIFY_CACHE: dict = {}
 
 
 def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
-               nonces=None, deterministic=False, adata=None):
+               nonces=None, deterministic=False, adata=None,
+               blinding=False):
     """Sign N messages with N keys. Returns (sigs list[bytes r||s], ok).
-    nonces: optional fixed list[int] (KAT injection)."""
+    nonces: optional fixed list[int] (KAT injection).
+    blinding=True enables the reference's USE_SIG_BLINDING
+    countermeasures (scalar m+b*q, projective randomization, masked
+    finalize) — output bytes are identical either way."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
     digs = [alg.hash(m) for m in msgs]
@@ -171,18 +197,32 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
     if nonces is None:
         if deterministic:
-            privs = keys.priv_ints()
             nonces = [rfc6979_nonce(h1, curve.q, x, hash_name)
-                      for h1, x in zip(digs, privs)]
-            k = common.scalars_from_ints(q_ctx, nonces)
+                      for h1, x in zip(digs, keys.priv_ints())]
         else:
-            k = common.random_scalars_mod_q(q_ctx, keys.n)
+            import os as _os
+            nb = (curve.q.bit_length() + 128) // 8
+            nonces = []
+            while len(nonces) < keys.n:
+                v = int.from_bytes(_os.urandom(nb), "big") % curve.q
+                if v:
+                    nonces.append(v)
+    k = common.scalars_from_ints(q_ctx, nonces)
+    if blinding:
+        from . import wcore as _w
+        kw, b_dev, lam = _w.blind_inputs(curve, nonces)
+        key = (curve.name, "sign_blind")
+        if key not in _SIGN_CACHE:
+            _SIGN_CACHE[key] = jax.jit(
+                lambda d, e, k, kw, b, lam: sign_core_blind(
+                    curve, d, e, k, kw, b, lam))
+        r, s, ok = _SIGN_CACHE[key](keys.priv, e, jnp.asarray(k), kw,
+                                    b_dev, lam)
     else:
-        k = common.scalars_from_ints(q_ctx, nonces)
-    key = (curve.name, "sign")
-    if key not in _SIGN_CACHE:
-        _SIGN_CACHE[key] = _jit_sign(curve)
-    r, s, ok = _SIGN_CACHE[key](keys.priv, e, jnp.asarray(k))
+        key = (curve.name, "sign")
+        if key not in _SIGN_CACHE:
+            _SIGN_CACHE[key] = _jit_sign(curve)
+        r, s, ok = _SIGN_CACHE[key](keys.priv, e, jnp.asarray(k))
     nb = (curve.q.bit_length() + 7) // 8
     rs = nn.batch_from_limbs(np.asarray(r))
     ss = nn.batch_from_limbs(np.asarray(s))
@@ -194,6 +234,83 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     sigs = [int(ri).to_bytes(nb, "big") + int(si).to_bytes(nb, "big")
             for ri, si in zip(rs, ss)]
     return sigs, np.asarray(ok)
+
+
+def public_key_from_sig_batch(curve, msgs: list[bytes], sigs: list[bytes],
+                              hash_name="SHA256"):
+    """Batched ECDSA public-key recovery from (message, signature).
+
+    Reference: __ecdsa_public_key_from_sig (ecdsa_common.c:867-1010).
+    For each lane: x = r + m*q for the smallest m (m <= 10, x < p) where
+    x^3 + ax + b is a quadratic residue; R = (x, ±y); the two candidate
+    keys are Q_j = r^-1 (s R_j - e G) = uG + v R_j with u = -e r^-1,
+    v = s r^-1 — computed on the batched Straus kernel (the same device
+    program as verify).
+
+    Returns (pub1, pub2, ok): two candidate KeyBatches (lanes invalid
+    where ok is False carry the generator as a placeholder) and the
+    validity mask. The true public key is pub1 or pub2 per lane (for
+    cofactor-1 curves, with overwhelming probability)."""
+    from . import wcore
+    from .keys import pubkey_batch_from_affine_ints
+    from ..curves import maps as cmaps
+    q_ctx = curve.q_ctx
+    q = curve.q
+    p = curve.fp_ctx.p_int
+    alg = get_hash(hash_name)
+    nb = (q.bit_length() + 7) // 8
+    n = len(sigs)
+    xs, y1s, y2s, us, vs, ok = [], [], [], [], [], []
+    for m, sg in zip(msgs, sigs):
+        good = len(sg) == 2 * nb
+        r = int.from_bytes(sg[:nb], "big") if good else 0
+        s = int.from_bytes(sg[nb:], "big") if good else 0
+        good = good and 0 < r < q and 0 < s < q
+        x = y = None
+        if good:
+            cand = r
+            for _ in range(11):            # order_multiplier <= 10
+                if cand >= p:
+                    break
+                rhs = (pow(cand, 3, p) + curve.a * cand + curve.b) % p
+                y = cmaps._sqrt_p(rhs, p)
+                if y is not None:
+                    x = cand
+                    break
+                cand += q
+            good = x is not None
+        if good:
+            e = wcore.trunc_msb_mod_q(alg.hash(m), q)
+            rinv = pow(r, -1, q)
+            us.append((-e * rinv) % q)
+            vs.append(s * rinv % q)
+            xs.append(x)
+            y1s.append(y)
+            y2s.append((p - y) % p)
+        else:
+            us.append(0)
+            vs.append(1)
+            xs.append(curve.gx)
+            y1s.append(curve.gy)
+            y2s.append((p - curve.gy) % p)
+        ok.append(good)
+    u = wcore.scalars_dev(q_ctx, us)
+    v = wcore.scalars_dev(q_ctx, vs)
+    outs = []
+    for ys in (y1s, y2s):
+        R = curve.point_from_affine_ints(xs, ys)
+        wx, wy, inf = wcore.straus_affine(curve, u, v, R)
+        qx = wcore.scalars_host(wx)
+        qy = wcore.scalars_host(wy)
+        inf = np.asarray(inf)
+        # invalid/infinity lanes -> generator placeholder
+        qx = [curve.gx if (inf[i] or not ok[i]) else qx[i]
+              for i in range(n)]
+        qy = [curve.gy if (inf[i] or not ok[i]) else qy[i]
+              for i in range(n)]
+        outs.append(pubkey_batch_from_affine_ints(curve, "ECDSA", qx, qy))
+        ok = [ok[i] and not inf[i] for i in range(n)]
+    return outs[0], outs[1], np.array(ok)
 
 
 def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],

@@ -47,18 +47,30 @@ def generic_init_pub(curve: ShortWCurve, priv) -> PrjPoint:
 
 
 def keygen(curve: ShortWCurve, alg: str, n: int, rng=None,
-           priv_ints=None, init_pub=None) -> KeyBatch:
+           priv_ints=None, init_pub=None, blinding=False) -> KeyBatch:
     """Generate N keypairs. priv_ints injects fixed keys (tests/KATs) —
     the analog of the reference's test-vector rand callback injection
-    (ec_self_tests_core.h:34)."""
+    (ec_self_tests_core.h:34). blinding=True computes Y = x*G with
+    scalar + projective blinding (the reference always blinds keygen:
+    prj_pt_mul_blind in init_pubkey_from_privkey, ecdsa_common.c:172)."""
     if priv_ints is not None:
         priv = scalars_from_ints(curve.q_ctx, priv_ints)
         n = len(priv_ints)
     else:
         priv = random_scalars_mod_q(curve.q_ctx, n, rng)
+        priv_ints = nn.batch_from_limbs(np.asarray(priv))
     priv = jnp.asarray(priv)
-    fn = init_pub or generic_init_pub
-    pub = fn(curve, priv)
+    if blinding and init_pub is None:
+        from . import wcore
+        kw, _b, lam = wcore.blind_inputs(curve, priv_ints, rng=rng)
+        pub = wcore.cached_jit(
+            (curve.name, "keygen_blind"),
+            lambda: lambda kw, lam: scalar_mul.fixed_base_mul(
+                curve, kw, nbits=2 * curve.q.bit_length() + 1, lam=lam)
+        )(kw, lam)
+    else:
+        fn = init_pub or generic_init_pub
+        pub = fn(curve, priv)
     return KeyBatch(curve=curve, alg=alg, n=n, priv=priv, pub=pub)
 
 

@@ -46,6 +46,52 @@ def kg_affine(curve: ShortWCurve, k):
     return cached_jit((curve.name, "kg_affine"), make)(k)
 
 
+def kg_affine_blind(curve: ShortWCurve, k_wide, lam_mont):
+    """Blinded W = k*G: the scalar arrives pre-blinded as k + b*q (double
+    length — the reference's prj_pt_mul_blind, prj_pt.c:1782) and the
+    accumulator representative is randomized by lam (projective blinding,
+    prj_pt.c:1266). Returns the same VALUES as kg_affine."""
+    nbits = 2 * curve.q.bit_length() + 1
+
+    def make():
+        def f(kw, lam):
+            W = scalar_mul.fixed_base_mul(curve, kw, nbits=nbits, lam=lam)
+            return to_affine_plain(curve, W)
+        return f
+    return cached_jit((curve.name, "kg_affine_blind"), make)(k_wide,
+                                                             lam_mont)
+
+
+def blind_inputs(curve: ShortWCurve, nonce_ints, rng=None):
+    """Host-side blinding material for a batch: b in ]0,q[ per lane
+    (scalar + finalize mask), lam in ]0,p[ per lane (projective mask),
+    and the widened blinded scalars k + b*q as limb tensors.
+    RNG boundary: os.urandom (reference: nn_get_random_mod)."""
+    import os as _os
+    rng = rng or _os.urandom
+    q = curve.q
+    p = curve.fp_ctx.p_int
+    nb = (q.bit_length() + 128) // 8
+    bs, lams, k_wide = [], [], []
+    for kv in nonce_ints:
+        b = 0
+        while b == 0:
+            b = int.from_bytes(rng(nb), "big") % q
+        lam = 0
+        while lam == 0:
+            lam = int.from_bytes(rng(nb), "big") % p
+        bs.append(b)
+        lams.append(lam)
+        k_wide.append(kv + b * q)
+    kw_limbs = (2 * q.bit_length() + 1 + nn.LIMB_BITS - 1) // nn.LIMB_BITS
+    import jax.numpy as _jnp
+    kw = _jnp.asarray(nn.batch_to_limbs(k_wide, kw_limbs))
+    b_dev = _jnp.asarray(nn.batch_to_limbs(bs, curve.q_ctx.k))
+    lam_mont = _jnp.asarray(nn.batch_to_limbs(
+        [v * curve.fp_ctx.R % p for v in lams], curve.fp_ctx.k))
+    return kw, b_dev, lam_mont
+
+
 def straus_affine(curve: ShortWCurve, u, v, pub: PrjPoint):
     """Batched W = u*G + v*Y -> (x, y, inf) plain canonical limbs.
     Public-scalar throughput path (replaces the reference's hardened

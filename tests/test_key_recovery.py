@@ -1,0 +1,47 @@
+"""ECDSA public-key recovery from signatures.
+
+Reference: __ecdsa_public_key_from_sig (ecdsa_common.c:867+), exercised by
+the reference's own self-tests after every ECDSA/DECDSA KAT
+(ec_self_tests_core.c:818-860): the recovered candidate set must contain
+the signer's public key.
+"""
+
+import numpy as np
+
+from libecc_tpu.curves import params
+from libecc_tpu.sig import ecdsa, keys as K
+
+
+def test_recover_pubkey_p256():
+    curve = params.get_curve("P-256")
+    privs = [0x1234567890ABCDEF, 0xA5A5A5A5A5A5A5A5A5A5]
+    kb = K.keygen(curve, "ECDSA", 2, priv_ints=privs)
+    msgs = [b"recover me", b"and me too"]
+    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256",
+                                nonces=[0x777777, 0x88888888])
+    assert ok.all()
+    pub1, pub2, rec_ok = ecdsa.public_key_from_sig_batch(
+        curve, msgs, sigs, "SHA256")
+    assert rec_ok.all()
+    xs, ys, _ = kb.pub_affine_ints()
+    x1, y1, _ = pub1.pub_affine_ints()
+    x2, y2, _ = pub2.pub_affine_ints()
+    for i in range(2):
+        assert (xs[i], ys[i]) in {(x1[i], y1[i]), (x2[i], y2[i])}, (
+            f"lane {i}: true pubkey not among recovered candidates")
+    # recovered candidate keys actually verify the signature
+    acc1 = ecdsa.verify_batch(pub1, msgs, sigs, "SHA256")
+    acc2 = ecdsa.verify_batch(pub2, msgs, sigs, "SHA256")
+    assert (acc1 | acc2).all()
+
+
+def test_recover_rejects_garbage():
+    curve = params.get_curve("P-256")
+    msgs = [b"x", b"y"]
+    q = curve.q
+    nb = 32
+    bad = [b"\x00" * 64,                          # r = s = 0
+           q.to_bytes(nb, "big") + (1).to_bytes(nb, "big")]  # r = q
+    _, _, rec_ok = ecdsa.public_key_from_sig_batch(curve, msgs, bad,
+                                                   "SHA256")
+    assert not rec_ok.any()
