@@ -234,4 +234,271 @@ BASH256 = HashAlg("BASH256", 32, 192 - 64, _mk_bash(256), aliases=("BASH-256",))
 BASH384 = HashAlg("BASH384", 48, 192 - 96, _mk_bash(384), aliases=("BASH-384",))
 BASH512 = HashAlg("BASH512", 64, 192 - 128, _mk_bash(512), aliases=("BASH-512",))
 
+# ---------------------------------------------------------------------------
+# Batched device kernels.
+#
+# BASH: bash-f is a 24-round ARX permutation over 24 u64 words — same
+# device shape as Keccak (hash/sha3.py): u64 lanes as (hi, lo) u32 pairs,
+# scan over rounds. Absorption OVERWRITES the rate prefix (bash.h:162
+# semantics), so blocks carry the full rate bytes incl. final padding.
+#
+# BELT: the belt block cipher's G_r = S-box-per-byte + rotate; the byte
+# substitution is a one-hot MXU matmul against the 256-entry S table
+# (comb-select trick). State h, 128-bit counter and accumulator ride the
+# scan carry; the final sigma2(ctr||s, h) runs after the scan.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _pack_bash_factory(digest_size: int):
+    rate = 192 - 2 * digest_size
+
+    def pack(msgs: list[bytes]):
+        n = len(msgs)
+        nblks = {len(m) // rate + 1 for m in msgs}
+        if len(nblks) != 1:
+            raise ValueError("batch must pad to the same block count")
+        nblk = nblks.pop()
+        # each block = the full rate region content (48 u32 LE words of
+        # the first rate bytes; capacity area untouched by absorb)
+        out = np.zeros((nblk, rate // 4, n), np.uint32)
+        for j, m in enumerate(msgs):
+            rem = m[(nblk - 1) * rate:]
+            data = (m[: (nblk - 1) * rate] + rem + b"\x40"
+                    + b"\x00" * (rate - len(rem) - 1))
+            out[:, :, j] = np.frombuffer(
+                data, dtype="<u4").reshape(nblk, rate // 4)
+        return out
+    return pack
+
+
+def _bash_f_device(st):
+    """st: uint32[24, 2, *batch] (hi, lo) u64 lanes -> permuted state."""
+    import jax
+    import jax.numpy as jnp
+
+    def rol(h, l, n):
+        n %= 64
+        if n == 0:
+            return h, l
+        if n == 32:
+            return l, h
+        if n < 32:
+            nh = (h << np.uint32(n)) | (l >> np.uint32(32 - n))
+            nl = (l << np.uint32(n)) | (h >> np.uint32(32 - n))
+            return nh, nl
+        m = n - 32
+        nh = (l << np.uint32(m)) | (h >> np.uint32(32 - m))
+        nl = (h << np.uint32(m)) | (l >> np.uint32(32 - m))
+        return nh, nl
+
+    rc_pairs = np.array([(v >> 32, v & M32) for v in BASH_RC], np.uint32)
+
+    def rnd(st, rc):
+        lanes = {i: (st[i, 0], st[i, 1]) for i in range(24)}
+        out = dict(lanes)
+        for v in range(8):
+            w0h, w0l = lanes[v]
+            w1h, w1l = lanes[v + 8]
+            w2h, w2l = lanes[v + 16]
+            m1, n1, m2, n2 = BASH_ROT[v]
+            t0h, t0l = rol(w0h, w0l, m1)
+            w0h, w0l = w0h ^ w1h ^ w2h, w0l ^ w1l ^ w2l
+            r1h, r1l = rol(w0h, w0l, n1)
+            t1h, t1l = w1h ^ r1h, w1l ^ r1l
+            nw1h, nw1l = t0h ^ t1h, t0l ^ t1l
+            r2h, r2l = rol(w2h, w2l, m2)
+            r3h, r3l = rol(t1h, t1l, n2)
+            w2h, w2l = w2h ^ r2h ^ r3h, w2l ^ r2l ^ r3l
+            s0h, s0l = (~w2h) | nw1h, (~w2l) | nw1l
+            s1h, s1l = w0h | w2h, w0l | w2l
+            s2h, s2l = w0h & nw1h, w0l & nw1l
+            out[v] = (w0h ^ s0h, w0l ^ s0l)
+            out[v + 8] = (nw1h ^ s1h, nw1l ^ s1l)
+            out[v + 16] = (w2h ^ s2h, w2l ^ s2l)
+        permuted = [out[_PERM_SRC[i]] for i in range(24)]
+        lh, ll = permuted[23]
+        permuted[23] = (lh ^ rc[0], ll ^ rc[1])
+        return jnp.stack([jnp.stack(p, 0) for p in permuted], 0), None
+
+    import jax
+    st, _ = jax.lax.scan(rnd, st, jnp.asarray(rc_pairs))
+    return st
+
+
+def _bash_device_factory(digest_size: int):
+    rate = 192 - 2 * digest_size
+
+    def fn(blocks):
+        import jax
+        import jax.numpy as jnp
+        bshape = blocks.shape[2:]
+        st = jnp.zeros((24, 2) + bshape, jnp.uint32)
+        # s[23] = <l/4>_64 tag (LE u64 value digest_size)
+        st = st.at[23, 1].set(jnp.full(bshape, digest_size, jnp.uint32))
+
+        def body(st, blk):
+            # blk: (rate//4, *B) LE u32 words -> overwrite rate prefix
+            lanes = blk.reshape((rate // 8, 2) + bshape)
+            # LE u64: first u32 is the LOW half
+            lo = lanes[:, 0]
+            hi = lanes[:, 1]
+            st = st.at[: rate // 8, 0].set(hi)
+            st = st.at[: rate // 8, 1].set(lo)
+            return _bash_f_device(st), None
+
+        st, _ = jax.lax.scan(body, st, blocks)
+        # digest = first digest_size bytes of the LE state serialization
+        bs = lambda x: ((x >> np.uint32(24))
+                        | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                        | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                        | (x << np.uint32(24)))
+        words = []
+        for i in range((digest_size + 7) // 8):
+            words += [bs(st[i, 1]), bs(st[i, 0])]     # lo bytes then hi
+        return jnp.stack(words, 0)[: (digest_size + 3) // 4]
+    return fn
+
+
+def _belt_device_tables():
+    return np.frombuffer(BELT_S, np.uint8).astype(np.float32)[None, :]  # (1,256)
+
+
+def _belt_hash_device(blocks):
+    """BELT-HASH device kernel.
+
+    blocks: uint32[nblk, 9, N] — rows 0..7 the 32-byte block as LE u32
+    words, row 8 the per-lane BIT-length increment of that block.
+    Output: uint32[8, N] big-endian digest words."""
+    import jax
+    import jax.numpy as jnp
+
+    s_tab = jnp.asarray(_belt_device_tables())       # (1, 256) f32
+    iota256 = jnp.arange(256, dtype=jnp.uint32)
+    bshape = blocks.shape[2:]
+
+    def G(x, r):
+        """S-box every byte of x (u32, *B) via one-hot matmul, then
+        rotl r."""
+        flat = x.reshape(-1)
+        bts = [(flat >> np.uint32(8 * i)) & np.uint32(0xFF)
+               for i in range(4)]
+        idx = jnp.stack(bts, 0).reshape(-1)           # (4*B,)
+        onehot = (iota256[:, None] == idx[None, :]).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            s_tab, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (1, 4*B)
+        sb = sel.astype(jnp.uint32).reshape((4,) + x.shape)
+        y = (sb[0] | (sb[1] << np.uint32(8)) | (sb[2] << np.uint32(16))
+             | (sb[3] << np.uint32(24)))
+        if r == 0:
+            return y
+        return (y << np.uint32(r)) | (y >> np.uint32(32 - r))
+
+    def belt_encrypt_dev(blk4, key8):
+        """blk4: list of 4 (u32,*B); key8: list of 8 -> 4 words out."""
+        a, b, c, d = blk4
+        k = key8
+        for i in range(8):
+            ki = _KIDX[i]
+            b = b ^ G(a + k[ki[0]], 5)
+            c = c ^ G(d + k[ki[1]], 21)
+            a = a - G(b + k[ki[2]], 13)
+            e = G(b + c + k[ki[3]], 21) ^ np.uint32(i + 1)
+            b = b + e
+            c = c - e
+            d = d + G(c + k[ki[4]], 13)
+            b = b ^ G(a + k[ki[5]], 21)
+            c = c ^ G(d + k[ki[6]], 5)
+            a, b = b, a
+            c, d = d, c
+            b, c = c, b
+        return [b, d, a, c]
+
+    def sigma1_dev(x8, h8):
+        t = [h8[i] ^ h8[i + 4] for i in range(4)]
+        enc = belt_encrypt_dev(t, x8)
+        return [enc[i] ^ t[i] for i in range(4)]
+
+    def sigma2_dev(x8, h8):
+        teta0 = sigma1_dev(x8, h8)
+        k1 = teta0 + h8[4:]
+        r0e = belt_encrypt_dev(x8[:4], k1)
+        r0 = [r0e[i] ^ x8[i] for i in range(4)]
+        k2 = [v ^ np.uint32(0xFFFFFFFF) for v in teta0] + h8[:4]
+        r1e = belt_encrypt_dev(x8[4:], k2)
+        r1 = [r1e[i] ^ x8[4 + i] for i in range(4)]
+        return r0 + r1
+
+    h_iv = np.frombuffer(struct.pack(
+        "<4Q", 0x3BF5080AC8BA94B1, 0xE45D4A588E006D36,
+        0xACC7B61B9DFA0485, 0x0DCEFD02C2722E25), dtype="<u4")
+
+    def unstack8(arr):
+        return [arr[i] for i in range(8)]
+
+    def body(carry, blk):
+        h, s, ctr = carry                            # (8,*B),(4,*B),(4,*B)
+        x8 = unstack8(blk[:8])
+        inc = blk[8]
+        h_l = unstack8(h)
+        s1 = sigma1_dev(x8, h_l)
+        s = jnp.stack([s[i] ^ s1[i] for i in range(4)], 0)
+        h = jnp.stack(sigma2_dev(x8, h_l), 0)
+        # 128-bit counter += inc (32-bit chunks with carries)
+        c0 = ctr[0] + inc
+        carry0 = (c0 < ctr[0]).astype(jnp.uint32)
+        c1 = ctr[1] + carry0
+        carry1 = (c1 < ctr[1]).astype(jnp.uint32)
+        c2 = ctr[2] + carry1
+        carry2 = (c2 < ctr[2]).astype(jnp.uint32)
+        c3 = ctr[3] + carry2
+        ctr = jnp.stack([c0, c1, c2, c3], 0)
+        return (h, s, ctr), None
+
+    h0 = jnp.broadcast_to(
+        jnp.asarray(h_iv.copy()).reshape((8,) + (1,) * len(bshape)),
+        (8,) + bshape)
+    z4 = jnp.zeros((4,) + bshape, jnp.uint32)
+    (h, s, ctr), _ = jax.lax.scan(body, (h0, z4, z4), blocks)
+    # final: sigma2(ctr128 || s, h)
+    state = [ctr[0], ctr[1], ctr[2], ctr[3], s[0], s[1], s[2], s[3]]
+    out = sigma2_dev(state, unstack8(h))
+    bs = lambda x: ((x >> np.uint32(24))
+                    | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                    | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                    | (x << np.uint32(24)))
+    return jnp.stack([bs(w) for w in out], 0)
+
+
+def pack_blocks_belt(msgs: list[bytes]):
+    """-> uint32[nblk, 9, N]: rows 0..7 = 32-byte block LE words, row 8 =
+    per-lane bit increment (256 full, 8*rem final partial; messages that
+    are a multiple of 32 bytes have NO padding block — all batch members
+    must agree on the block count)."""
+    n = len(msgs)
+    nblks = {-(-len(m) // 32) for m in msgs}
+    if len(nblks) != 1:
+        raise ValueError("batch must pad to the same block count")
+    nblk = nblks.pop()
+    out = np.zeros((nblk, 9, n), np.uint32)
+    for j, m in enumerate(msgs):
+        rem = len(m) - (nblk - 1) * 32 if nblk else 0
+        data = m + b"\x00" * (nblk * 32 - len(m))
+        if nblk:
+            out[:, :8, j] = np.frombuffer(
+                data, dtype="<u4").reshape(nblk, 8)
+            out[:, 8, j] = 256
+            out[nblk - 1, 8, j] = 8 * rem
+    return out
+
+
+BELT_HASH.device_fn = _belt_hash_device
+BELT_HASH.pack_fn = pack_blocks_belt
+for _alg in (BASH224, BASH256, BASH384, BASH512):
+    _alg.device_fn = _bash_device_factory(_alg.digest_size)
+    _alg.pack_fn = _pack_bash_factory(_alg.digest_size)
+
 ALGS = [BELT_HASH, BASH224, BASH256, BASH384, BASH512]

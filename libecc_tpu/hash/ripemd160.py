@@ -104,7 +104,116 @@ class _Ripemd160(BlockHashState):
         return struct.pack("<5I", *h)
 
 
+# ---------------------------------------------------------------------------
+# Batched device kernel: RIPEMD-160 is pure 32-bit ARX, same shape as the
+# SHA-256 device kernel (scan over 80 dual-line steps); the only wrinkle
+# is little-endian words and the per-step message-word permutation, which
+# rides the scan xs as scalar indices (dynamic-slice on the 16-word axis,
+# not a per-lane gather).
+# ---------------------------------------------------------------------------
+
+def pack_blocks_ripemd160(msgs: list[bytes]):
+    """Pad+pack -> uint32[nblk, 16, N] little-endian words (MD4-style
+    padding: 0x80, zeros, <Q bit length)."""
+    import numpy as np
+    padded = []
+    for m in msgs:
+        pad = b"\x80" + b"\x00" * ((55 - len(m)) % 64)
+        padded.append(m + pad + struct.pack("<Q", len(m) * 8))
+    nblk = {len(p) // 64 for p in padded}
+    if len(nblk) != 1:
+        raise ValueError("batch must pad to the same block count")
+    nblk = nblk.pop()
+    out = np.zeros((nblk, 16, len(msgs)), np.uint32)
+    for j, p in enumerate(padded):
+        out[:, :, j] = np.frombuffer(p, dtype="<u4").reshape(nblk, 16)
+    return out
+
+
+def ripemd160_device(blocks):
+    """Batched RIPEMD-160: uint32[nblk, 16, *batch] -> uint32[5, *batch]
+    in the BIG-endian word convention shared by all device hash fns."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    bshape = blocks.shape[2:]
+    h0 = jnp.broadcast_to(
+        jnp.array(IV, jnp.uint32).reshape((5,) + (1,) * len(bshape)),
+        (5,) + bshape)
+
+    def _rotl_d(x, n):
+        return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
+
+    def _f_d(sel, x, y, z):
+        """All five boolean lines computed, one selected by the static
+        per-step index riding the scan xs."""
+        cands = jnp.stack([
+            x ^ y ^ z,
+            (x & y) | (~x & z),
+            (x | ~y) ^ z,
+            (x & z) | (y & ~z),
+            x ^ (y | ~z),
+        ], 0)
+        onehot = (jnp.arange(5, dtype=jnp.int32) == sel).astype(jnp.uint32)
+        return jnp.tensordot(onehot, cands, axes=1)
+
+    xs = jnp.asarray(np.stack([
+        np.array(RL, np.int32), np.array(RR, np.int32),
+        np.array(SL, np.int32), np.array(SR, np.int32),
+        np.array([KL[j // 16] for j in range(80)], np.uint32).view(np.int32),
+        np.array([KR[j // 16] for j in range(80)], np.uint32).view(np.int32),
+        np.array([j // 16 for j in range(80)], np.int32),
+        np.array([(79 - j) // 16 for j in range(80)], np.int32),
+    ], axis=1))                                        # (80, 8)
+
+    def step(carry, x_j):
+        st, w = carry                                  # (10, *B), (16, *B)
+        rl, rr, sl, sr = x_j[0], x_j[1], x_j[2], x_j[3]
+        kl = x_j[4].astype(jnp.uint32)
+        kr = x_j[5].astype(jnp.uint32)
+        fl_sel, fr_sel = x_j[6], x_j[7]
+        al, bl, cl, dl, el = [st[i] for i in range(5)]
+        ar, br, cr, dr, er = [st[i] for i in range(5, 10)]
+        wl = jax.lax.dynamic_index_in_dim(w, rl, 0, keepdims=False)
+        wr = jax.lax.dynamic_index_in_dim(w, rr, 0, keepdims=False)
+        t = al + _f_d(fl_sel, bl, cl, dl) + wl + kl
+        # rotate by a traced amount: uint32 shifts with traced n
+        sl32 = sl.astype(jnp.uint32)
+        t = ((t << sl32) | (t >> (np.uint32(32) - sl32))) + el
+        al, el, dl, cl, bl = el, dl, _rotl_d(cl, 10), bl, t
+        t = ar + _f_d(fr_sel, br, cr, dr) + wr + kr
+        sr32 = sr.astype(jnp.uint32)
+        t = ((t << sr32) | (t >> (np.uint32(32) - sr32))) + er
+        ar, er, dr, cr, br = er, dr, _rotl_d(cr, 10), br, t
+        return (jnp.stack([al, bl, cl, dl, el,
+                           ar, br, cr, dr, er], 0), w), None
+
+    def block_body(h, blk):
+        st0 = jnp.concatenate([h, h], 0)
+        (st, _), _ = jax.lax.scan(step, (st0, blk), xs)
+        bl_, cl_, dl_, el_ = st[1], st[2], st[3], st[4]
+        al_ = st[0]
+        br_, cr_, dr_, er_ = st[6], st[7], st[8], st[9]
+        ar_ = st[5]
+        return jnp.stack([
+            h[1] + cl_ + dr_,
+            h[2] + dl_ + er_,
+            h[3] + el_ + ar_,
+            h[4] + al_ + br_,
+            h[0] + bl_ + cr_,
+        ], 0), None
+
+    h, _ = jax.lax.scan(block_body, h0, blocks)
+    # digest bytes are the LE serialization of h -> bswap into the shared
+    # big-endian word convention
+    return ((h >> 24) | ((h >> 8) & 0xFF00)
+            | ((h & 0xFF00) << 8) | (h << 24))
+
+
 RIPEMD160 = HashAlg("RIPEMD160", 20, 64, _Ripemd160,
+                    device_fn=ripemd160_device,
+                    pack_fn=pack_blocks_ripemd160,
                     aliases=("RIPEMD-160",))
 
 ALGS = [RIPEMD160]

@@ -107,9 +107,154 @@ class _Streebog512(_Streebog):
     digest_size = 64
 
 
+# ---------------------------------------------------------------------------
+# Batched device kernel.
+#
+# State = uint32[8 words, 4 chunks, N], 16-bit little-endian chunks of the
+# 8 u64 state words. The LPS transform's 64 table lookups become one-hot
+# MXU matmuls (the comb-select trick, curves/scalar_mul.py): for each
+# source word j, the 8 byte indices select rows of PI[j] (split into four
+# 16-bit chunk planes so the f32 products are exact), XOR-combined across
+# j. Reference: src/hash/streebog.c (tables streebog.h).
+# ---------------------------------------------------------------------------
+
+def pack_blocks_streebog(msgs: list[bytes]):
+    """Pad+pack -> uint32[nblk, 33, N]: rows 0..31 are the block's 8 u64
+    words as 16-bit LE chunks; row 32 is the per-lane N-counter bit
+    increment for that block (512 for full blocks, 8*rem for the final
+    padded block — always present, matching the host finalize)."""
+    n = len(msgs)
+    nblks = {len(m) // 64 + 1 for m in msgs}
+    if len(nblks) != 1:
+        raise ValueError("batch must pad to the same block count")
+    nblk = nblks.pop()
+    out = np.zeros((nblk, 33, n), np.uint32)
+    for j, m in enumerate(msgs):
+        rem = m[(nblk - 1) * 64:]
+        data = m[: (nblk - 1) * 64] + rem + b"\x01" + b"\x00" * (63 - len(rem))
+        words = np.frombuffer(data, dtype="<u2").reshape(nblk, 32)
+        out[:, :32, j] = words
+        out[:, 32, j] = 512
+        out[nblk - 1, 32, j] = 8 * len(rem)
+    return out
+
+
+def _device_tables():
+    pi16 = np.zeros((8, 256, 4), np.float32)
+    for j in range(8):
+        v = _T["PI"][j]
+        for c in range(4):
+            pi16[j, :, c] = ((v >> np.uint64(16 * c))
+                             & np.uint64(0xFFFF)).astype(np.float32)
+    c16 = np.zeros((12, 8, 4), np.uint32)
+    for r in range(12):
+        for w in range(8):
+            for c in range(4):
+                c16[r, w, c] = int(C[r, w]) >> (16 * c) & 0xFFFF
+    return pi16, c16
+
+
+def _streebog_device(blocks, out256: bool):
+    import jax
+    import jax.numpy as jnp
+
+    pi16_np, c16_np = _device_tables()
+    pi16 = jnp.asarray(pi16_np)                      # (8, 256, 4) f32
+    c16 = jnp.asarray(c16_np)                        # (12, 8, 4) u32
+    bshape = blocks.shape[2:]
+    iota256 = jnp.arange(256, dtype=jnp.uint32)
+
+    def lps(x):                                      # (8, 4, *B)
+        out = None
+        flat = x.reshape((8, 4) + (-1,))             # flatten batch
+        for j in range(8):
+            ch = flat[j]                             # (4, B)
+            b = [(ch[i // 2] >> np.uint32(8 * (i % 2))) & np.uint32(0xFF)
+                 for i in range(8)]
+            idx = jnp.stack(b, 0).reshape(-1)        # (8*B,)
+            onehot = (iota256[:, None] == idx[None, :]).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                pi16[j], onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (4, 8*B)
+            sel = sel.astype(jnp.uint32).reshape((4, 8) + flat.shape[2:])
+            sel = jnp.swapaxes(sel, 0, 1)            # (8 words, 4, B)
+            out = sel if out is None else out ^ sel
+        return out.reshape(x.shape)
+
+    def add512(a, b):                                # chunks (8, 4, *B)
+        af = a.reshape((32,) + a.shape[2:])
+        bf = b.reshape((32,) + b.shape[2:])
+        outs = []
+        carry = jnp.zeros_like(af[0])
+        for i in range(32):
+            s = af[i] + bf[i] + carry
+            outs.append(s & np.uint32(0xFFFF))
+            carry = s >> np.uint32(16)
+        return jnp.stack(outs, 0).reshape(a.shape)
+
+    def g(h, m, n):
+        k = lps(h ^ n)
+        t = lps(k ^ m)
+        k = lps(k ^ jnp.broadcast_to(
+            c16[0].reshape((8, 4) + (1,) * len(bshape)), h.shape))
+
+        def rnd(carry, cr):
+            k, t = carry
+            t = lps(k ^ t)
+            k = lps(k ^ jnp.broadcast_to(
+                cr.reshape((8, 4) + (1,) * len(bshape)), k.shape))
+            return (k, t), None
+
+        (k, t), _ = jax.lax.scan(rnd, (k, t), c16[1:])
+        return h ^ t ^ k ^ m
+
+    fill = 0x0101 if out256 else 0
+    h0 = jnp.full((8, 4) + bshape, np.uint32(fill), jnp.uint32)
+    zeros = jnp.zeros((8, 4) + bshape, jnp.uint32)
+
+    def block_body(carry, blk):
+        h, nctr, sigma = carry
+        m = blk[:32].reshape((8, 4) + bshape)
+        inc = blk[32]                                # (*B,) bits, < 2^16
+        h = g(h, m, nctr)
+        inc_state = jnp.zeros_like(nctr).at[0, 0].set(inc)
+        nctr = add512(nctr, inc_state)
+        sigma = add512(sigma, m)
+        return (h, nctr, sigma), None
+
+    (h, nctr, sigma), _ = jax.lax.scan(
+        block_body, (h0, zeros, zeros), blocks)
+    h = g(h, nctr, zeros)
+    h = g(h, sigma, zeros)
+    # digest bytes = LE serialization of h words; emit BE u32 convention
+    lo = h[:, 0] | (h[:, 1] << np.uint32(16))        # (8, *B) u64 lo half
+    hi = h[:, 2] | (h[:, 3] << np.uint32(16))
+    bs = lambda x: ((x >> np.uint32(24)) | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                    | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                    | (x << np.uint32(24)))
+    words = []
+    for w in range(8):
+        words += [bs(lo[w]), bs(hi[w])]
+    out = jnp.stack(words, 0)                        # (16, *B)
+    return out[8:] if out256 else out
+
+
+def streebog256_device(blocks):
+    return _streebog_device(blocks, True)
+
+
+def streebog512_device(blocks):
+    return _streebog_device(blocks, False)
+
+
 STREEBOG256 = HashAlg("STREEBOG256", 32, 64, _Streebog256,
+                      device_fn=streebog256_device,
+                      pack_fn=pack_blocks_streebog,
                       aliases=("STREEBOG-256", "GOST34112012256"))
 STREEBOG512 = HashAlg("STREEBOG512", 64, 64, _Streebog512,
+                      device_fn=streebog512_device,
+                      pack_fn=pack_blocks_streebog,
                       aliases=("STREEBOG-512", "GOST34112012512"))
 
 ALGS = [STREEBOG256, STREEBOG512]
