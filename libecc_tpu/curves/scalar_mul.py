@@ -18,6 +18,8 @@ stays one body deep regardless of scalar length.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,12 +91,31 @@ def double_add_always_mul(c, m, P, nbits: int | None = None):
 _COMB_CACHE: dict = {}
 
 
+def _comb_disk_path(c, w: int, nbits: int):
+    import os
+    base = os.environ.get("LIBECC_TPU_COMB_CACHE",
+                          "/tmp/libecc_tpu_comb_cache")
+    os.makedirs(base, exist_ok=True)
+    # p in the key guards against same-named user-registered curves
+    tag = f"{c.name}-{w}-{nbits}-{c.fp_ctx.p_int % (1 << 64):016x}"
+    return os.path.join(base, tag + ".npz")
+
+
 def _comb_table_host(c, w: int, nbits: int):
     """Host-precomputed comb table as np.uint32[nwin*2^w, ncoord, K]
-    (Montgomery-domain, Z=1 for affine entries, identity at d=0)."""
+    (Montgomery-domain, Z=1 for affine entries, identity at d=0).
+    Disk-cached across processes (8k+ host EC adds per (curve, w) —
+    one-time cost; short-lived CLI runs and test processes reuse it)."""
     key = (c.name, w, nbits)
     if key in _COMB_CACHE:
         return _COMB_CACHE[key]
+    path = _comb_disk_path(c, w, nbits)
+    try:
+        f = np.load(path)
+        _COMB_CACHE[key] = (f["tab"], int(f["nwin"]), int(f["ncoord"]))
+        return _COMB_CACHE[key]
+    except Exception:
+        pass
     from ..ref import hostref
     ctx = c.fp_ctx
     p = ctx.p_int
@@ -140,6 +161,13 @@ def _comb_table_host(c, w: int, nbits: int):
         for ci, v in enumerate(coords):
             out[r, ci] = nn.to_limbs(v * ctx.R % p, k)
     _COMB_CACHE[key] = (out, nwin, ncoord)
+    try:
+        tmp = path + ".tmp%d" % os.getpid()
+        np.savez(tmp, tab=out, nwin=nwin, ncoord=ncoord)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   path)
+    except Exception:
+        pass
     return _COMB_CACHE[key]
 
 

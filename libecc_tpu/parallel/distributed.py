@@ -1,0 +1,120 @@
+"""Multi-host initialization + weak-scaling measurement harness.
+
+The reference has no distributed backend (single-thread C; SURVEY §2.13);
+the TPU build's scale story is the signature-batch axis over a pod slice:
+`jax.distributed` + a ('dcn','ici') mesh, batch sharded over both axes,
+reductions riding ICI first (BASELINE north star: >=1M P-256 verifies/s
+on a v5p-16 at >=90% weak scaling).
+
+This module provides:
+  * init_from_env(): jax.distributed bootstrap for multi-host runs
+    (no-op single-process, env-driven otherwise);
+  * weak_scaling(): rate(N)/(N*rate(1)) efficiency measurement of the
+    batched verify pipeline over 1..N devices of whatever backend is
+    present (virtual CPU devices in CI, real chips on a pod).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def init_from_env() -> bool:
+    """Initialize jax.distributed from standard env vars when running
+    multi-process (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID — or their MEGASCALE/TPU equivalents that
+    jax.distributed.initialize() autodetects). Returns True if a
+    multi-process init happened. Safe to call in single-process runs."""
+    import jax
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if coord and nproc and int(nproc) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        return True
+    return False
+
+
+def _verify_rate(mesh, n_lanes: int, iters: int) -> float:
+    """Sharded P-256 ECDSA verify throughput (lanes/sec) over `mesh`.
+    Token-chained dispatches, one host-transfer sync (the only reliable
+    drain through the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    from . import mesh as meshlib
+    from ..curves import params
+    from ..sig import ecdsa, keys as K
+    from ..sig.common import digests_to_words, e_from_digest_bits
+    from ..curves.shortw import PrjPoint
+    from ..nn import core as nn
+    import hashlib
+
+    c = params.get_curve("P-256")
+    q_ctx = c.q_ctx
+    rng = np.random.RandomState(5)
+    privs = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
+             for _ in range(n_lanes)]
+    kb = K.keygen(c, "ECDSA", n_lanes, priv_ints=privs)
+    msgs = [rng.bytes(32) for _ in range(n_lanes)]
+    nonces = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
+              for _ in range(n_lanes)]
+    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256", nonces=nonces)
+    assert ok.all()
+    digs = [hashlib.sha256(m).digest() for m in msgs]
+    e = e_from_digest_bits(jnp.asarray(digests_to_words(digs)), 256, q_ctx)
+    r = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[:32], "big") for s in sigs], q_ctx.k))
+    s = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[32:], "big") for s in sigs], q_ctx.k))
+
+    def pipeline(px, py, pz, e, r, s, tok):
+        r_dep = jnp.where(tok <= jnp.uint32(n_lanes), r, r + 1)
+        acc = ecdsa.verify_core(c, PrjPoint(px, py, pz), e, r_dep, s)
+        return jnp.sum(acc.astype(jnp.uint32))
+
+    shard = lambda a: jax.device_put(
+        a, meshlib.batch_sharding(mesh, a.ndim))
+    args = tuple(shard(a) for a in (kb.pub.x, kb.pub.y, kb.pub.z, e, r, s))
+    with mesh:
+        fn = jax.jit(pipeline)
+        tok = fn(*args, jnp.uint32(0))
+        n_ok = int(np.asarray(tok))            # warm + drain
+        assert n_ok == n_lanes, f"{n_ok}/{n_lanes} verified"
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tok = fn(*args, tok)
+        np.asarray(tok)
+        dt = (time.perf_counter() - t0) / iters
+    return n_lanes / dt
+
+
+def weak_scaling(device_counts=(1, 2, 4, 8), lanes_per_device=256,
+                 iters=4) -> dict:
+    """Weak-scaling sweep: constant lanes/device, growing device count.
+    Returns {"points": [{n_devices, lanes, rate, per_device_rate,
+    efficiency}], "efficiency_at_max": float}. efficiency =
+    rate(N) / (N * rate(1))."""
+    from . import mesh as meshlib
+    points = []
+    rate1 = None
+    for nd in device_counts:
+        try:
+            mesh = meshlib.make_mesh(nd)
+        except ValueError:
+            break
+        rate = _verify_rate(mesh, nd * lanes_per_device, iters)
+        if rate1 is None:
+            rate1 = rate
+        eff = rate / (nd * rate1)
+        points.append({"n_devices": nd, "lanes": nd * lanes_per_device,
+                       "rate": round(rate, 1),
+                       "per_device_rate": round(rate / nd, 1),
+                       "efficiency": round(eff, 4)})
+    return {"points": points,
+            "efficiency_at_max": points[-1]["efficiency"] if points
+            else 0.0}

@@ -116,7 +116,7 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="BELT_HASH", nonces=None,
     n = len(msgs)
     q_len = (q.bit_length() + 7) // 8
     l = q_len // 2
-    hs = [alg.hash(m) for m in msgs]
+    hs = common.batch_digests(alg, msgs)
     if nonces is None and deterministic:
         privs = keys.priv_ints()
         nonces = [deterministic_nonce(q, privs[i], adata, hs[i])

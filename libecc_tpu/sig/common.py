@@ -21,8 +21,35 @@ from ..hash.registry import get_hash
 def hash_msgs_host(hash_name, msgs: list[bytes]) -> np.ndarray:
     """Host-hash a list of messages -> big-endian words uint32[W, N]."""
     alg = get_hash(hash_name)
-    digs = [alg.hash(m) for m in msgs]
-    return digests_to_words(digs)
+    return digests_to_words(batch_digests(alg, msgs))
+
+
+_DIGEST_JITS: dict = {}
+
+
+def batch_digests(alg, msgs: list[bytes]) -> list[bytes]:
+    """Hash a message batch, on DEVICE when the algorithm has a batched
+    kernel and the batch packs to a uniform block count (one fused
+    dispatch instead of N sequential host hashes — this is what makes the
+    ECRDSA/BIGN/SM2 pipelines device-resident now that all 20 hashes
+    have kernels). Falls back to host hashing otherwise."""
+    n = len(msgs)
+    if alg.device_fn is None or alg.pack_fn is None or n < 8:
+        return [alg.hash(m) for m in msgs]
+    try:
+        blocks = alg.pack_fn(msgs)
+    except ValueError:          # non-uniform block counts -> host
+        return [alg.hash(m) for m in msgs]
+    import jax
+    import jax.numpy as jnp
+    key = alg.name
+    if key not in _DIGEST_JITS:
+        _DIGEST_JITS[key] = jax.jit(alg.device_fn)
+    out = np.asarray(_DIGEST_JITS[key](jnp.asarray(blocks)))
+    raw = out.T.astype(">u4").tobytes()
+    stride = out.shape[0] * 4
+    return [raw[j * stride: j * stride + alg.digest_size]
+            for j in range(n)]
 
 
 def digests_to_words(digs: list[bytes]) -> np.ndarray:

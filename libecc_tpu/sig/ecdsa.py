@@ -89,7 +89,13 @@ def verify_core(curve: ShortWCurve, pub: PrjPoint, e, r, s):
     sinv = common.q_inv(s, q_ctx)
     u = common.q_mul(e, sinv, q_ctx)
     v = common.q_mul(r, sinv, q_ctx)
+    # FIA pre/post on-curve checks (prj_pt.c:1767,1776): hostile or
+    # faulted points force rejection via the accept mask
+    from ..curves.shortw import on_curve_mask
+    fia_ok = on_curve_mask(curve, pub)
     W = scalar_mul.fixed_base_double_mul_public(curve, u, v, pub)
+    fia_ok = fia_ok & on_curve_mask(curve, W)
+    in_range = in_range & fia_ok
     p_int, q_int = p_ctx.p_int, curve.q
     n_cand = (p_int - 1) // q_int + 1
     if n_cand <= 2:
@@ -192,7 +198,7 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     finalize) — output bytes are identical either way."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
-    digs = [alg.hash(m) for m in msgs]
+    digs = common.batch_digests(alg, msgs)
     words = common.digests_to_words(digs)
     e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
     if nonces is None:
@@ -318,7 +324,7 @@ def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
     """Verify N signatures (r||s raw format). Returns accept mask."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
-    words = common.digests_to_words([alg.hash(m) for m in msgs])
+    words = common.digests_to_words(common.batch_digests(alg, msgs))
     e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
     nb = (curve.q.bit_length() + 7) // 8
     rs, ss = [], []

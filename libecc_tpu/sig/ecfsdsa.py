@@ -38,9 +38,9 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
     rs = [int(wx_i[i]).to_bytes(p_len, "big")
           + int(wy_i[i]).to_bytes(p_len, "big") for i in range(n)]
+    digs = common.batch_digests(alg, [rs[i] + msgs[i] for i in range(n)])
     e = wcore.scalars_dev(
-        q_ctx, [int.from_bytes(alg.hash(rs[i] + msgs[i]), "big") % q
-                for i in range(n)])
+        q_ctx, [int.from_bytes(d, "big") % q for d in digs])
     s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv, q_ctx),
                      q_ctx)
     nb = (q.bit_length() + 7) // 8
@@ -55,15 +55,19 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
     alg = get_hash(hash_name)
     p_len = (curve.fp_ctx.bits + 7) // 8
     nb = (q.bit_length() + 7) // 8
+    digs = common.batch_digests(
+        alg, [(sg[:2 * p_len] if len(sg) == 2 * p_len + nb
+               else b"\x00" * (2 * p_len)) + m
+              for m, sg in zip(msgs, sigs)])
     us, vs, pre_ok, rx_l, ry_l = [], [], [], [], []
-    for m, sg in zip(msgs, sigs):
+    for i, (m, sg) in enumerate(zip(msgs, sigs)):
         ok = len(sg) == 2 * p_len + nb
         r = sg[:2 * p_len] if ok else b"\x00" * (2 * p_len)
         s = int.from_bytes(sg[2 * p_len:], "big") if ok else 0
         rx = int.from_bytes(r[:p_len], "big")
         ry = int.from_bytes(r[p_len:], "big")
         ok = ok and 0 < s < q and rx < p and ry < p
-        e = (-(int.from_bytes(alg.hash(r + m), "big") % q)) % q
+        e = (-(int.from_bytes(digs[i], "big") % q)) % q
         us.append(s)
         vs.append(e)
         rx_l.append(rx % p)

@@ -41,8 +41,9 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     k_dev, _ = wcore.nonces_for(curve, n, nonces)
     wx, _, inf = wcore.kg_affine(curve, k_dev)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
+    digs = common.batch_digests(alg, msgs)
     e = wcore.scalars_dev(
-        q_ctx, [(-wcore.trunc_msb_mod_q(alg.hash(m), q)) % q for m in msgs])
+        q_ctx, [(-wcore.trunc_msb_mod_q(d, q)) % q for d in digs])
     # s = x*(k*r + e) mod q   (device q-arithmetic)
     kr = common.q_mul(k_dev, r, q_ctx)
     s = common.q_mul(keys.priv, common.q_add(kr, jnp.asarray(e), q_ctx), q_ctx)
@@ -59,12 +60,13 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
     alg = get_hash(hash_name)
     nb = (q.bit_length() + 7) // 8
     us, vs, pre_ok = [], [], []
-    for m, sg in zip(msgs, sigs):
+    digs = common.batch_digests(alg, msgs)
+    for dg, sg in zip(digs, sigs):
         ok = len(sg) == 2 * nb
         r = int.from_bytes(sg[:nb], "big") if ok else 0
         s = int.from_bytes(sg[nb:], "big") if ok else 0
         ok = ok and 0 < r < q and 0 < s < q
-        e = wcore.trunc_msb_mod_q(alg.hash(m), q)
+        e = wcore.trunc_msb_mod_q(dg, q)
         rinv = pow(r, -1, q) if ok else 1
         us.append(rinv * e % q)
         vs.append(rinv * s % q)

@@ -58,20 +58,23 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     rl = _r_len(curve, alg)
     p_len = (curve.fp_ctx.bits + 7) // 8
     xs_pub, ys_pub, _ = keys.pub_affine_ints()
-    # h = rightmost bytes of H(z || m), per message
-    hs = []
+    # h = rightmost bytes of H(z || m), batched on device when possible
+    bufs = []
     for i, m in enumerate(msgs):
         z = (int(xs_pub[i]).to_bytes(p_len, "big")
              + int(ys_pub[i]).to_bytes(p_len, "big"))
         z = (z + b"\x00" * alg.block_size)[: alg.block_size]
-        d = alg.hash(z + m)
-        hs.append(d[len(d) - rl:] if len(d) > rl else d)
+        bufs.append(z + m)
+    hs = [d[len(d) - rl:] if len(d) > rl else d
+          for d in common.batch_digests(alg, bufs)]
     k_dev, _ = wcore.nonces_for(curve, n, nonces)
     wx, _, inf = wcore.kg_affine(curve, k_dev)
     wx_ints = wcore.scalars_host(wx)
+    wx_digs = common.batch_digests(
+        alg, [int(wx_ints[i]).to_bytes(p_len, "big") for i in range(n)])
     rs, es = [], []
     for i in range(n):
-        d = alg.hash(int(wx_ints[i]).to_bytes(p_len, "big"))
+        d = wx_digs[i]
         r = d[len(d) - rl:] if len(d) > rl else d
         rs.append(r)
         es.append(int.from_bytes(bytes(a ^ b for a, b in zip(r, hs[i])),
@@ -94,16 +97,20 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
     nb = (q.bit_length() + 7) // 8
     p_len = (curve.fp_ctx.bits + 7) // 8
     xs_pub, ys_pub, _ = keys.pub_affine_ints()
+    bufs = []
+    for i, m in enumerate(msgs):
+        z = (int(xs_pub[i]).to_bytes(p_len, "big")
+             + int(ys_pub[i]).to_bytes(p_len, "big"))
+        z = (z + b"\x00" * alg.block_size)[: alg.block_size]
+        bufs.append(z + m)
+    digs = common.batch_digests(alg, bufs)
     es, ss, pre_ok, r_bufs = [], [], [], []
     for i, (m, sg) in enumerate(zip(msgs, sigs)):
         ok = len(sg) == rl + nb
         r = sg[:rl] if ok else b"\x00" * rl
         s = int.from_bytes(sg[rl:], "big") if ok else 0
         ok = ok and 0 < s < q
-        z = (int(xs_pub[i]).to_bytes(p_len, "big")
-             + int(ys_pub[i]).to_bytes(p_len, "big"))
-        z = (z + b"\x00" * alg.block_size)[: alg.block_size]
-        d = alg.hash(z + m)
+        d = digs[i]
         h = d[len(d) - rl:] if len(d) > rl else d
         es.append(int.from_bytes(bytes(a ^ b for a, b in zip(r, h)),
                                  "big") % q)
@@ -116,9 +123,12 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
     wx, _, inf = wcore.straus_affine(curve, u, v, keys.pub)
     wx_ints = wcore.scalars_host(wx)
     inf = np.asarray(inf)
+    wx_digs = common.batch_digests(
+        alg, [int(wx_ints[i]).to_bytes(p_len, "big")
+              for i in range(len(sigs))])
     out = []
     for i in range(len(sigs)):
-        d = alg.hash(int(wx_ints[i]).to_bytes(p_len, "big"))
+        d = wx_digs[i]
         rp = d[len(d) - rl:] if len(d) > rl else d
         out.append(pre_ok[i] and not inf[i] and rp == r_bufs[i])
     return np.array(out)

@@ -25,8 +25,8 @@ def siglen(curve: ShortWCurve, hash_name=None) -> int:
     return 2 * ((curve.q.bit_length() + 7) // 8)
 
 
-def _e_of(alg, m: bytes, q: int) -> int:
-    e = int.from_bytes(alg.hash(m), "little") % q
+def _e_of_digest(dg: bytes, q: int) -> int:
+    e = int.from_bytes(dg, "little") % q
     return e if e != 0 else 1
 
 
@@ -38,7 +38,8 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="STREEBOG256", nonces=None,
     k_dev, _ = wcore.nonces_for(curve, n, nonces)
     wx, _, inf = wcore.kg_affine(curve, k_dev)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
-    e = wcore.scalars_dev(q_ctx, [_e_of(alg, m, q) for m in msgs])
+    e = wcore.scalars_dev(q_ctx, [_e_of_digest(d, q) for d in
+                                  common.batch_digests(alg, msgs)])
     # s = r*x + k*e mod q (device)
     rx = common.q_mul(r, keys.priv, q_ctx)
     ke = common.q_mul(k_dev, jnp.asarray(e), q_ctx)
@@ -57,12 +58,13 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="STREEBOG256",
     alg = get_hash(hash_name)
     nb = (q.bit_length() + 7) // 8
     us, vs, rs, pre_ok = [], [], [], []
-    for m, sg in zip(msgs, sigs):
+    digs = common.batch_digests(alg, msgs)
+    for dg, sg in zip(digs, sigs):
         ok = len(sg) == 2 * nb
         r = int.from_bytes(sg[:nb], "big") if ok else 0
         s = int.from_bytes(sg[nb:], "big") if ok else 0
         ok = ok and 0 < r < q and 0 < s < q
-        e = _e_of(alg, m, q)
+        e = _e_of_digest(dg, q)
         einv = pow(e, -1, q)
         us.append(einv * s % q)
         vs.append((-(einv * r)) % q)

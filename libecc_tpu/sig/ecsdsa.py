@@ -26,12 +26,19 @@ def siglen(curve: ShortWCurve, hash_name="SHA256") -> int:
     return get_hash(hash_name).digest_size + (curve.q.bit_length() + 7) // 8
 
 
-def _commit(curve, alg, wx: int, wy: int, m: bytes, optimized: bool) -> bytes:
+def _commit_buf(curve, wx: int, wy: int, m: bytes, optimized: bool) -> bytes:
     p_len = (curve.fp_ctx.bits + 7) // 8
     buf = int(wx).to_bytes(p_len, "big")
     if not optimized:
         buf += int(wy).to_bytes(p_len, "big")
-    return alg.hash(buf + m)
+    return buf + m
+
+
+def _commits(curve, alg, wx_i, wy_i, msgs, optimized) -> list:
+    """H(Wx [|| Wy] || m) per lane — batched on device when possible."""
+    bufs = [_commit_buf(curve, wx_i[i], wy_i[i], msgs[i], optimized)
+            for i in range(len(msgs))]
+    return common.batch_digests(alg, bufs)
 
 
 def _sign(keys: KeyBatch, msgs, hash_name, nonces, optimized):
@@ -41,8 +48,7 @@ def _sign(keys: KeyBatch, msgs, hash_name, nonces, optimized):
     k_dev, _ = wcore.nonces_for(curve, n, nonces)
     wx, wy, inf = wcore.kg_affine(curve, k_dev)
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
-    rs = [_commit(curve, alg, wx_i[i], wy_i[i], msgs[i], optimized)
-          for i in range(n)]
+    rs = _commits(curve, alg, wx_i, wy_i, msgs, optimized)
     e = wcore.scalars_dev(q_ctx, [int.from_bytes(r, "big") % q for r in rs])
     # s = k + e*x mod q (device)
     s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv, q_ctx),
@@ -75,10 +81,10 @@ def _verify(keys: KeyBatch, msgs, sigs, hash_name, optimized):
     wx, wy, inf = wcore.straus_affine(curve, u, v, keys.pub)
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
     inf = np.asarray(inf)
+    rps = _commits(curve, alg, wx_i, wy_i, msgs, optimized)
     out = []
-    for i, m in enumerate(msgs):
-        rp = _commit(curve, alg, wx_i[i], wy_i[i], m, optimized)
-        out.append(pre_ok[i] and not inf[i] and rp == r_bufs[i])
+    for i in range(len(msgs)):
+        out.append(pre_ok[i] and not inf[i] and rps[i] == r_bufs[i])
     return np.array(out)
 
 

@@ -47,11 +47,10 @@ def compute_za(curve: ShortWCurve, alg, yx: int, yy: int,
 
 def _e_vals(keys: KeyBatch, msgs, alg, ident):
     xs, ys, _ = keys.pub_affine_ints()
-    es = []
-    for i, m in enumerate(msgs):
-        za = compute_za(keys.curve, alg, xs[i], ys[i], ident)
-        es.append(int.from_bytes(alg.hash(za + m), "big") % keys.curve.q)
-    return es
+    bufs = [compute_za(keys.curve, alg, xs[i], ys[i], ident) + m
+            for i, m in enumerate(msgs)]
+    return [int.from_bytes(d, "big") % keys.curve.q
+            for d in common.batch_digests(alg, bufs)]
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SM3", nonces=None,

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import core as nn
-from ..curves.shortw import ShortWCurve, PrjPoint, to_affine_plain
+from ..curves.shortw import ShortWCurve, PrjPoint, to_affine_plain, \
+    on_curve_mask
 from ..curves import scalar_mul
 from . import common
 
@@ -37,11 +38,15 @@ def cached_jit(key, make_fn):
 def kg_affine(curve: ShortWCurve, k):
     """Batched W = k*G -> (x, y, inf) PLAIN-domain canonical limbs.
     Constant-schedule ladder (reference: prj_pt_mul_blind semantics —
-    our lane-batched ladder is constant-schedule by construction)."""
+    our lane-batched ladder is constant-schedule by construction).
+    FIA hardening: the post-scalar-mult on-curve check (prj_pt.c:1776)
+    folds into the inf mask — a faulted W rejects the lane."""
     def make():
         def f(k):
             W = scalar_mul.fixed_base_mul(curve, k)
-            return to_affine_plain(curve, W)
+            ok = on_curve_mask(curve, W)
+            x, y, inf = to_affine_plain(curve, W)
+            return x, y, inf | (~ok)
         return f
     return cached_jit((curve.name, "kg_affine"), make)(k)
 
@@ -95,12 +100,19 @@ def blind_inputs(curve: ShortWCurve, nonce_ints, rng=None):
 def straus_affine(curve: ShortWCurve, u, v, pub: PrjPoint):
     """Batched W = u*G + v*Y -> (x, y, inf) plain canonical limbs.
     Public-scalar throughput path (replaces the reference's hardened
-    double ladder in verify, ecdsa_common.c:788-800)."""
+    double ladder in verify, ecdsa_common.c:788-800).
+    FIA hardening (prj_pt.c:1767,1776): the public point Y is checked
+    on-curve BEFORE the scalar mult and the result W AFTER; a failure of
+    either folds into the inf mask, so every scheme's verify rejects the
+    lane — one fused batched check, ~10 field muls vs ~2*256 point ops."""
     def make():
         def f(u, v, px, py, pz):
-            W = scalar_mul.fixed_base_double_mul_public(
-                curve, u, v, PrjPoint(px, py, pz))
-            return to_affine_plain(curve, W)
+            Y = PrjPoint(px, py, pz)
+            pre = on_curve_mask(curve, Y)
+            W = scalar_mul.fixed_base_double_mul_public(curve, u, v, Y)
+            post = on_curve_mask(curve, W)
+            x, y, inf = to_affine_plain(curve, W)
+            return x, y, inf | (~pre) | (~post)
         return f
     return cached_jit((curve.name, "straus_affine"), make)(
         u, v, pub.x, pub.y, pub.z)

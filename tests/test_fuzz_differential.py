@@ -1,0 +1,154 @@
+"""Differential fuzzing over the cryptofuzz-style raw APIs.
+
+The reference exposes raw (digest+nonce supplied) sign/verify for
+ECDSA/ECGDSA/ECRDSA to OSS-Fuzz for differential testing
+(fuzzing_ecdsa.c:40-54 warning block). Here the differential oracle is
+an independent Python-int implementation (the same role
+arithmetic_tests_generator.py plays for the reference): 10^4+ random
+(key, digest, nonce) cases per scheme run as ONE device batch and every
+signature and accept/reject decision must agree with the oracle.
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from libecc_tpu.curves import params
+from libecc_tpu.sig import fuzzing, keys as K, ecgdsa
+from libecc_tpu.ref import hostref
+
+_FULL = os.environ.get("LIBECC_TPU_FULL", "0") == "1"
+N = int(os.environ.get("LIBECC_TPU_FUZZ_N", "10000" if _FULL else "2500"))
+CURVE = "P-256"
+
+
+@pytest.fixture(scope="module")
+def rnd():
+    return random.Random(0xF0220)
+
+
+@pytest.fixture(scope="module")
+def setup(rnd):
+    curve = params.get_curve(CURVE)
+    q = curve.q
+    privs = [rnd.randrange(1, q) for _ in range(N)]
+    nonces = [rnd.randrange(1, q) for _ in range(N)]
+    digests = [rnd.getrandbits(256).to_bytes(32, "big") for _ in range(N)]
+    return curve, privs, nonces, digests
+
+
+def _trunc(d: bytes, q: int) -> int:
+    v = int.from_bytes(d, "big")
+    if 8 * len(d) > q.bit_length():
+        v >>= 8 * len(d) - q.bit_length()
+    return v % q
+
+
+def test_ecdsa_raw_differential(setup):
+    curve, privs, nonces, digests = setup
+    q = curve.q
+    kb = K.keygen(curve, "ECDSA", N, priv_ints=privs)
+    sigs, ok = fuzzing.ecdsa_sign_raw(kb, digests, nonces)
+    assert ok.all()
+    wc = hostref.WCurve(curve.fp_ctx.p_int, curve.a, curve.b,
+                        curve.gx, curve.gy, q, curve.h)
+    bad = 0
+    for i in range(N):
+        e = _trunc(digests[i], q)
+        r_ref, s_ref = hostref.ecdsa_sign_ref(wc, privs[i], e, nonces[i])
+        got_r = int.from_bytes(sigs[i][:32], "big")
+        got_s = int.from_bytes(sigs[i][32:], "big")
+        if (got_r, got_s) != (r_ref, s_ref):
+            bad += 1
+            if bad < 4:
+                print(f"lane {i}: ours ({got_r:x},{got_s:x}) "
+                      f"ref ({r_ref:x},{s_ref:x})")
+    assert bad == 0, f"{bad}/{N} ECDSA raw-sign divergences"
+    # verify side: all genuine accepted; per-lane tampered batch rejected
+    acc = fuzzing.ecdsa_verify_raw(kb, digests, sigs)
+    assert acc.all()
+    tampered = [bytes([s[0] ^ 1]) + s[1:] for s in sigs]
+    acc_bad = fuzzing.ecdsa_verify_raw(kb, digests, tampered)
+    assert not acc_bad.any()
+
+
+def test_ecgdsa_raw_differential(setup):
+    curve, privs, nonces, digests = setup
+    q = curve.q
+    kb = K.keygen(curve, "ECGDSA", N, priv_ints=privs,
+                  init_pub=ecgdsa.init_pub)
+    sigs, ok = fuzzing.ecgdsa_sign_raw(kb, digests, nonces)
+    assert ok.all()
+    wc = hostref.WCurve(curve.fp_ctx.p_int, curve.a, curve.b,
+                        curve.gx, curve.gy, q, curve.h)
+    bad = 0
+    for i in range(N):
+        # ECGDSA oracle: r = x(kG) mod q ; s = x*(k*r - (-e)) = x*(k*r+e')
+        R = hostref.ec_mul(wc, nonces[i], (wc.gx, wc.gy))
+        r_ref = R[0] % q
+        e = (-_trunc(digests[i], q)) % q
+        s_ref = privs[i] * (nonces[i] * r_ref + e) % q
+        got_r = int.from_bytes(sigs[i][:32], "big")
+        got_s = int.from_bytes(sigs[i][32:], "big")
+        if (got_r, got_s) != (r_ref, s_ref):
+            bad += 1
+    assert bad == 0, f"{bad}/{N} ECGDSA raw-sign divergences"
+    acc = fuzzing.ecgdsa_verify_raw(kb, digests, sigs)
+    assert acc.all()
+
+
+def test_ecrdsa_raw_differential(setup):
+    curve, privs, nonces, digests = setup
+    q = curve.q
+    kb = K.keygen(curve, "ECRDSA", N, priv_ints=privs)
+    sigs, ok = fuzzing.ecrdsa_sign_raw(kb, digests, nonces)
+    assert ok.all()
+    wc = hostref.WCurve(curve.fp_ctx.p_int, curve.a, curve.b,
+                        curve.gx, curve.gy, q, curve.h)
+    bad = 0
+    for i in range(N):
+        R = hostref.ec_mul(wc, nonces[i], (wc.gx, wc.gy))
+        r_ref = R[0] % q
+        e = int.from_bytes(digests[i], "little") % q or 1
+        s_ref = (r_ref * privs[i] + nonces[i] * e) % q
+        got_r = int.from_bytes(sigs[i][:32], "big")
+        got_s = int.from_bytes(sigs[i][32:], "big")
+        if (got_r, got_s) != (r_ref, s_ref):
+            bad += 1
+    assert bad == 0, f"{bad}/{N} ECRDSA raw-sign divergences"
+    acc = fuzzing.ecrdsa_verify_raw(kb, digests, sigs)
+    assert acc.all()
+
+
+def test_raw_verify_fuzzed_signatures(setup, rnd):
+    """Hostile signature fuzz: random r/s (in and out of range) must be
+    accepted by the device verifier iff the int oracle accepts."""
+    curve, privs, _, digests = setup
+    q = curve.q
+    m = min(N, 2000)
+    kb = K.keygen(curve, "ECDSA", m, priv_ints=privs[:m])
+    wc = hostref.WCurve(curve.fp_ctx.p_int, curve.a, curve.b,
+                        curve.gx, curve.gy, q, curve.h)
+    pubs = list(zip(*kb.pub_affine_ints()[:2]))
+    fuzz_sigs = []
+    for i in range(m):
+        mode = rnd.randrange(4)
+        if mode == 0:       # totally random in-range
+            r, s = rnd.randrange(q), rnd.randrange(q)
+        elif mode == 1:     # out-of-range components
+            r, s = q + rnd.randrange(1 << 128), rnd.randrange(q)
+        elif mode == 2:     # tiny values
+            r, s = rnd.randrange(4), rnd.randrange(4)
+        else:               # near-q
+            r, s = q - 1 - rnd.randrange(2), q - 1 - rnd.randrange(2)
+        fuzz_sigs.append(r.to_bytes(32, "big") + s.to_bytes(32, "big"))
+    acc = fuzzing.ecdsa_verify_raw(kb, digests[:m], fuzz_sigs)
+    for i in range(m):
+        r = int.from_bytes(fuzz_sigs[i][:32], "big")
+        s = int.from_bytes(fuzz_sigs[i][32:], "big")
+        e = _trunc(digests[i], q)
+        ref = hostref.ecdsa_verify_ref(wc, pubs[i], e, r, s)
+        assert bool(acc[i]) == ref, (
+            f"lane {i}: device={bool(acc[i])} oracle={ref}")

@@ -217,8 +217,9 @@ def test_ecdh_kat_group(key):
                 else b"\x05" + b"\x00" * 55)
         privs = [bytes.fromhex(r["priv"]) for r in rows]
         peers = [bytes.fromhex(r["peer_pub"]) for r in rows]
-        ours = fn(privs, [base] * len(rows))
-        shared = fn(privs, peers)
+        ours, ok1 = fn(privs, [base] * len(rows))
+        shared, ok2 = fn(privs, peers)
+        assert np.asarray(ok1).all() and np.asarray(ok2).all()
         for i, r in enumerate(rows):
             assert ours[i].hex() == r["our_pub"], f"{r['name']}: pub"
             assert shared[i].hex() == r["shared"], f"{r['name']}: shared"

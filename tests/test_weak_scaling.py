@@ -1,0 +1,38 @@
+"""Weak-scaling harness over the virtual CPU device mesh.
+
+On virtual devices the absolute efficiency number is meaningless (all
+"devices" share the host's cores), so the assertions target harness
+correctness: the sweep runs, rates are positive, the sharded result
+stays correct at every size, and the 2-D mesh path works. Real-chip
+efficiency (BASELINE >=90% target) is measured by the same code on
+hardware via dryrun_multichip.
+"""
+
+import numpy as np
+import pytest
+
+from libecc_tpu.parallel import distributed as dist
+from libecc_tpu.parallel import mesh as meshlib
+
+
+def test_weak_scaling_sweep_runs():
+    sweep = dist.weak_scaling(device_counts=(1, 2, 4),
+                              lanes_per_device=32, iters=2)
+    assert len(sweep["points"]) == 3
+    for pt in sweep["points"]:
+        assert pt["rate"] > 0
+        assert pt["lanes"] == pt["n_devices"] * 32
+    assert sweep["points"][0]["efficiency"] == 1.0
+    assert sweep["efficiency_at_max"] > 0
+
+
+def test_2d_mesh_rate():
+    mesh = meshlib.make_mesh_2d(2, 2)
+    assert tuple(mesh.axis_names) == ("dcn", "ici")
+    rate = dist._verify_rate(mesh, 64, 2)
+    assert rate > 0
+
+
+def test_init_from_env_noop(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert dist.init_from_env() is False
