@@ -171,6 +171,81 @@ def bench_verify(jax, jnp, curve_name, n, iters, headline=False):
               "verifies/sec/chip", 355.0)
 
 
+def bench_ed25519_verify(jax, jnp, n, iters):
+    """Batched Ed25519 verification (BASELINE config[3]): device point
+    decode + SB + k(-A) == R projective equality. Challenge hashes are
+    precomputed (SHA-512 over encoded points — fixed inputs here; the
+    device SHA-512 kernel is benched in the ECDSA pipelines)."""
+    from libecc_tpu.sig import eddsa
+    from libecc_tpu.nn import core as nn
+
+    rng = np.random.RandomState(11)
+    seeds = [rng.bytes(32) for _ in range(n)]
+    kb = eddsa.EdDSAKeyBatch("ed25519", seeds)
+    msgs = [rng.bytes(32) for _ in range(n)]
+    sigs = eddsa.sign_batch(kb, msgs)
+    c = kb.curve
+    q = c.q
+    v = kb.variant_family
+    el = v.enc_len
+    ymask = (1 << v.sign_bit) - 1
+    ay = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(p, "little") & ymask for p in kb.pub_bytes],
+        c.fp_ctx.k))
+    asign = jnp.asarray(np.array(
+        [p[-1] >> 7 for p in kb.pub_bytes], np.uint32))
+    ry = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[:el], "little") & ymask for s in sigs],
+        c.fp_ctx.k))
+    rsign = jnp.asarray(np.array([s[el - 1] >> 7 for s in sigs],
+                                 np.uint32))
+    S = jnp.asarray(nn.batch_to_limbs(
+        [int.from_bytes(s[el:], "little") for s in sigs], c.q_ctx.k))
+    ks = [eddsa._le_mod_q(eddsa._xof(v, sigs[i][:el], kb.pub_bytes[i],
+                                     msgs[i]), q) for i in range(n)]
+    k = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
+
+    @jax.jit
+    def pipeline(ay, asign, ry, rsign, S, k, tok):
+        S_dep = jnp.where(tok <= jnp.uint32(n), S, S + 1)
+        acc = eddsa.verify_core(c, ay, asign, ry, rsign, S_dep, k)
+        return acc, jnp.sum(acc.astype(jnp.uint32))
+
+    rate, tok = _pipelined(pipeline, (ay, asign, ry, rsign, S, k),
+                           jnp.uint32(0), iters, n)
+    assert int(tok) == n, f"ed25519 verified {int(tok)}/{n}"
+    _emit("ed25519_verify_throughput", rate, "verifies/sec/chip", 355.0)
+
+
+def bench_e2e_verify(jax, jnp, n, iters):
+    """End-to-end user-API throughput: ecdsa.verify_batch from bytes in
+    to accept mask out, INCLUDING all host marshalling (sig parsing,
+    limb packing, device transfer) — the honest number for callers that
+    hold signatures as byte strings."""
+    from libecc_tpu.curves import params
+    from libecc_tpu.sig import ecdsa, keys as K
+
+    c = params.get_curve("P-256")
+    rng = np.random.RandomState(44)
+    privs = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
+             for _ in range(n)]
+    kb = K.keygen(c, "ECDSA", n, priv_ints=privs)
+    msgs = [rng.bytes(32) for _ in range(n)]
+    nonces = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
+              for _ in range(n)]
+    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256", nonces=nonces)
+    assert ok.all()
+    acc = ecdsa.verify_batch(kb, msgs, sigs, "SHA256")   # warm + compile
+    assert acc.all()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = ecdsa.verify_batch(kb, msgs, sigs, "SHA256")
+    dt = (time.perf_counter() - t0) / iters
+    assert acc.all()
+    _emit("p256_ecdsa_verify_e2e_throughput", n / dt,
+          "verifies/sec/chip", 355.0)
+
+
 def main():
     n = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -180,7 +255,9 @@ def main():
 
     bench_mulmod(jax, jnp)
     bench_sign(jax, jnp, n, iters)
+    bench_e2e_verify(jax, jnp, n, max(2, iters // 4))
     if bench_all:
+        bench_ed25519_verify(jax, jnp, n, iters)
         for extra in ("SECP256K1", "SECP384R1", "BRAINPOOLP512R1"):
             bench_verify(jax, jnp, extra, n, iters)
     # headline last: drivers parse the final JSON line

@@ -19,7 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...nn import core as nn
-from .mont import SUBLANES, LANES, BLOCK
+from .mont import SUBLANES, LANES, BLOCK, MAX_PALLAS_LIMBS
 from .point import _fmul, _fmul_c, _fadd, _fsub, _read, _write
 
 
@@ -156,6 +156,7 @@ def _build_dbln_add(curve_key, k, ndbl):
 
 def supported(curve, P) -> bool:
     return (P.x.ndim == 2 and P.x.shape[-1] % BLOCK == 0
+            and curve.fp_ctx.k <= MAX_PALLAS_LIMBS
             and getattr(curve.fp_ctx, "relaxed_ok", False))
 
 

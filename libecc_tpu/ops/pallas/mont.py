@@ -33,6 +33,8 @@ LIMB_MASK = np.uint32(0x7FFF)
 # batch tile: SUBLANES x 128 lanes per grid step
 SUBLANES = 8
 LANES = 128
+import os as _os
+MAX_PALLAS_LIMBS = int(_os.environ.get("LIBECC_TPU_PALLAS_MAX_K", "30"))
 BLOCK = SUBLANES * LANES
 
 
@@ -266,6 +268,7 @@ def supported(ctx, shape) -> bool:
     """Kernel applicability: 2-D (K, N) batches, N % 1024 == 0, and a
     relaxed-capable context."""
     return (len(shape) == 2 and shape[-1] % BLOCK == 0
+            and ctx.k <= MAX_PALLAS_LIMBS
             and getattr(ctx, "relaxed_ok", False))
 
 

@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...nn import core as nn
-from .mont import (LIMB_MASK, SUBLANES, LANES, BLOCK,
+from .mont import (LIMB_MASK, SUBLANES, LANES, BLOCK, MAX_PALLAS_LIMBS,
                    _relax, _mul_cols, _mul_cols_const, _f32_carry)
 
 
@@ -324,6 +324,7 @@ def _build_dbln_add(curve_key, k, ndbl):
 
 def supported(curve, P) -> bool:
     return (P.x.ndim == 2 and P.x.shape[-1] % BLOCK == 0
+            and curve.fp_ctx.k <= MAX_PALLAS_LIMBS
             and getattr(curve.fp_ctx, "relaxed_ok", False))
 
 

@@ -16,10 +16,30 @@ This module provides:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _pallas_for_mesh(mesh):
+    """Disable the fused Pallas kernels while compiling for a CPU-device
+    mesh (virtual-device tests under a TPU-default backend: the kernels
+    would otherwise be selected by backend but lowered for CPU)."""
+    if mesh.devices.flat[0].platform == "cpu":
+        old = os.environ.get("LIBECC_TPU_PALLAS")
+        os.environ["LIBECC_TPU_PALLAS"] = "0"
+        try:
+            yield
+        finally:
+            if old is None:
+                os.environ.pop("LIBECC_TPU_PALLAS", None)
+            else:
+                os.environ["LIBECC_TPU_PALLAS"] = old
+    else:
+        yield
 
 
 def init_from_env() -> bool:
@@ -80,7 +100,7 @@ def _verify_rate(mesh, n_lanes: int, iters: int) -> float:
     shard = lambda a: jax.device_put(
         a, meshlib.batch_sharding(mesh, a.ndim))
     args = tuple(shard(a) for a in (kb.pub.x, kb.pub.y, kb.pub.z, e, r, s))
-    with mesh:
+    with mesh, _pallas_for_mesh(mesh):
         fn = jax.jit(pipeline)
         tok = fn(*args, jnp.uint32(0))
         n_ok = int(np.asarray(tok))            # warm + drain
@@ -93,13 +113,57 @@ def _verify_rate(mesh, n_lanes: int, iters: int) -> float:
     return n_lanes / dt
 
 
+def _mulmod_rate(mesh, n_lanes: int, iters: int, chain: int = 64) -> float:
+    """Sharded 256-bit Montgomery-mul chain throughput (mulmods/sec) —
+    the LIGHT weak-scaling workload: seconds to compile (the verify
+    pipeline takes minutes per mesh size on CPU), same sharded
+    elementwise structure, so efficiency generalizes."""
+    import jax
+    import jax.numpy as jnp
+    from . import mesh as meshlib
+    from ..curves import params
+    from ..fp import field as fp
+    from ..nn import core as nn
+
+    ctx = params.get_curve("P-256").fp_ctx
+    rng = np.random.RandomState(9)
+    vals = [int.from_bytes(rng.bytes(32), "big") % ctx.p_int
+            for _ in range(n_lanes)]
+    a = jnp.asarray(nn.batch_to_limbs(vals, ctx.k))
+
+    def chain_fn(x, tok):
+        x = jnp.where(tok <= jnp.uint32(n_lanes), x, x + 1)
+        xm = nn.to_mont(x, ctx)
+
+        def body(_, v):
+            return fp.sqr(v, ctx)
+        xm = jax.lax.fori_loop(0, chain, body, xm)
+        x = nn.canonicalize_from_mont(xm, ctx)
+        return jnp.uint32(jnp.sum(x[0] & 1, dtype=jnp.uint32))
+
+    arg = jax.device_put(a, meshlib.batch_sharding(mesh, a.ndim))
+    with mesh, _pallas_for_mesh(mesh):
+        fn = jax.jit(chain_fn)
+        tok = fn(arg, jnp.uint32(0))
+        np.asarray(tok)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tok = fn(arg, tok)
+        np.asarray(tok)
+        dt = (time.perf_counter() - t0) / iters
+    return n_lanes * chain / dt
+
+
 def weak_scaling(device_counts=(1, 2, 4, 8), lanes_per_device=256,
-                 iters=4) -> dict:
+                 iters=4, pipeline="verify") -> dict:
     """Weak-scaling sweep: constant lanes/device, growing device count.
     Returns {"points": [{n_devices, lanes, rate, per_device_rate,
     efficiency}], "efficiency_at_max": float}. efficiency =
-    rate(N) / (N * rate(1))."""
+    rate(N) / (N * rate(1)). pipeline: "verify" (the full ECDSA verify
+    program — use on real hardware) or "mulmod" (light field-mul chain —
+    compiles in seconds; what the CI dryrun uses)."""
     from . import mesh as meshlib
+    rate_fn = _verify_rate if pipeline == "verify" else _mulmod_rate
     points = []
     rate1 = None
     for nd in device_counts:
@@ -107,7 +171,7 @@ def weak_scaling(device_counts=(1, 2, 4, 8), lanes_per_device=256,
             mesh = meshlib.make_mesh(nd)
         except ValueError:
             break
-        rate = _verify_rate(mesh, nd * lanes_per_device, iters)
+        rate = rate_fn(mesh, nd * lanes_per_device, iters)
         if rate1 is None:
             rate1 = rate
         eff = rate / (nd * rate1)

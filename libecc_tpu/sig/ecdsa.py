@@ -230,15 +230,14 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
             _SIGN_CACHE[key] = _jit_sign(curve)
         r, s, ok = _SIGN_CACHE[key](keys.priv, e, jnp.asarray(k))
     nb = (curve.q.bit_length() + 7) // 8
-    rs = nn.batch_from_limbs(np.asarray(r))
-    ss = nn.batch_from_limbs(np.asarray(s))
+    r_b = nn.limbs_to_bytes_be_np(np.asarray(r), nb)
+    s_b = nn.limbs_to_bytes_be_np(np.asarray(s), nb)
     from ..utils import dbg
     if dbg.enabled():
         dbg.trace_nn("ECDSA", "e", e, q_ctx)
-        dbg.trace_nn("ECDSA", "r", rs)
-        dbg.trace_nn("ECDSA", "s", ss)
-    sigs = [int(ri).to_bytes(nb, "big") + int(si).to_bytes(nb, "big")
-            for ri, si in zip(rs, ss)]
+        dbg.trace_nn("ECDSA", "r", nn.batch_from_limbs(np.asarray(r)))
+        dbg.trace_nn("ECDSA", "s", nn.batch_from_limbs(np.asarray(s)))
+    sigs = [r_b[i] + s_b[i] for i in range(len(r_b))]
     return sigs, np.asarray(ok)
 
 
@@ -327,15 +326,15 @@ def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
     words = common.digests_to_words(common.batch_digests(alg, msgs))
     e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
     nb = (curve.q.bit_length() + 7) // 8
-    rs, ss = [], []
     for sg in sigs:
         if len(sg) != 2 * nb:
             raise ValueError("bad signature length")
-        rs.append(int.from_bytes(sg[:nb], "big"))
-        ss.append(int.from_bytes(sg[nb:], "big"))
-    r = jnp.asarray(nn.batch_to_limbs([v % (1 << (q_ctx.k * nn.LIMB_BITS))
-                                       for v in rs], q_ctx.k))
-    s = jnp.asarray(nn.batch_to_limbs(ss, q_ctx.k))
+    # vectorized bytes -> limbs (native C++ when built): nb*8 <= k*15
+    # always holds (k has +2 headroom limbs), so no masking is needed
+    r = jnp.asarray(nn.bytes_be_to_limbs_np([sg[:nb] for sg in sigs],
+                                            q_ctx.k))
+    s = jnp.asarray(nn.bytes_be_to_limbs_np([sg[nb:] for sg in sigs],
+                                            q_ctx.k))
     key = (curve.name, "verify")
     if key not in _VERIFY_CACHE:
         _VERIFY_CACHE[key] = _jit_verify(curve)

@@ -17,7 +17,8 @@ from libecc_tpu.parallel import mesh as meshlib
 
 def test_weak_scaling_sweep_runs():
     sweep = dist.weak_scaling(device_counts=(1, 2, 4),
-                              lanes_per_device=32, iters=2)
+                              lanes_per_device=32, iters=2,
+                              pipeline="mulmod")
     assert len(sweep["points"]) == 3
     for pt in sweep["points"]:
         assert pt["rate"] > 0
