@@ -14,6 +14,10 @@ commitment W = kG is fixed at init — matching the reference's design
 where k is drawn in sign_init (ecsdsa_common.c sign_init).
 EdDSA is inherently two-pass over the message (RFC 8032 derives r from
 H(prefix || M)) — its context buffers, as a documented exception.
+NOTE: the reference refuses streaming for pure EdDSA outright
+(sign_init = unsupported_sign_init, sig_algs_internal.h:455,:471; only
+the ph variants stream) — buffering here is therefore a capability
+superset, not a parity gap.
 """
 
 from __future__ import annotations
