@@ -125,8 +125,8 @@ def _device_sm3(blocks):
                 gg = (e & f) | (~e & g)
             tt1 = ff + d + ss2 + (w[j] ^ w[j + 4])
             tt2 = gg + h + ss1 + w[j]
-            d, c, b, a = c, rotl(b, 9), b, tt1
-            h, g, f, e = g, rotl(f, 19), f, p0(tt2)
+            d, c, b, a = c, rotl(b, 9), a, tt1
+            h, g, f, e = g, rotl(f, 19), e, p0(tt2)
         out = jnp.stack([a, b, c, d, e, f, g, h], 0)
         return state ^ out, None
 
@@ -138,18 +138,21 @@ def _device_sm3(blocks):
 
 
 def _pack_be64len(msgs, block_size=64):
-    """Pad equal-length messages MD-style (0x80 ... be64 bitlen) and pack to
-    uint32[nblk, 16, N] big-endian words. Shared with SHA-256 layout."""
+    """Pad messages MD-style (0x80 ... be64 bitlen) and pack to
+    uint32[nblk, 16, N] big-endian words. Shared with SHA-256 layout.
+    Lengths may differ as long as every message pads to the same block
+    count (same constraint as the other hash packers)."""
     n = len(msgs)
-    mlen = len(msgs[0])
-    assert all(len(m) == mlen for m in msgs)
     padded = []
     for m in msgs:
         p = m + b"\x80"
         p += b"\x00" * ((56 - len(p)) % 64)
-        p += struct.pack(">Q", mlen * 8)
+        p += struct.pack(">Q", len(m) * 8)
         padded.append(p)
-    nblk = len(padded[0]) // 64
+    nblks = {len(p) // 64 for p in padded}
+    if len(nblks) != 1:
+        raise ValueError("batch must pad to the same block count")
+    nblk = nblks.pop()
     arr = np.frombuffer(b"".join(padded), dtype=">u4")
     arr = arr.reshape(n, nblk, 16).transpose(1, 2, 0).astype(np.uint32)
     return arr
