@@ -23,10 +23,9 @@ import os
 import time
 
 # Persistent XLA/Mosaic compile cache: the fused Pallas point kernels take
-# minutes to compile; cache them across bench invocations.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libecc_axon_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# minutes to compile; libecc_tpu.__init__ enables the cache via
+# jax.config.update (env vars are ignored by this JAX build). Default dir
+# ~/.cache/libecc_tpu_jax, override with LIBECC_TPU_JAX_CACHE.
 
 import numpy as np
 
@@ -258,7 +257,9 @@ def main():
     bench_e2e_verify(jax, jnp, n, max(2, iters // 4))
     if bench_all:
         bench_ed25519_verify(jax, jnp, n, iters)
-        for extra in ("SECP256K1", "SECP384R1", "BRAINPOOLP512R1"):
+        # BRAINPOOLP256R1 is the exact curve behind the published 355/s
+        for extra in ("BRAINPOOLP256R1", "SECP256K1", "SECP384R1",
+                      "BRAINPOOLP512R1"):
             bench_verify(jax, jnp, extra, n, iters)
     # headline last: drivers parse the final JSON line
     bench_verify(jax, jnp, "SECP256R1", n, iters, headline=True)

@@ -57,11 +57,41 @@ def digests_to_words(digs: list[bytes]) -> np.ndarray:
     dlen = len(digs[0])
     pad = (-dlen) % 4
     w = (dlen + pad) // 4
+    if pad == 0:
+        arr = np.frombuffer(b"".join(digs), dtype=">u4")
+        return np.ascontiguousarray(
+            arr.reshape(len(digs), w).T).astype(np.uint32)
     out = np.zeros((w, len(digs)), np.uint32)
     for j, d in enumerate(digs):
         d = d + b"\x00" * pad
         out[:, j] = np.frombuffer(d, dtype=">u4")
     return out
+
+
+def e_from_msgs(alg, msgs: list[bytes], q_ctx):
+    """Message batch -> ECDSA-style scalar e, FUSED on device (hash kernel
+    + MSB truncation + mod-q reduce in one dispatch) when the algorithm
+    has a batched kernel and the batch packs to a uniform block count.
+    Unlike batch_digests + digests_to_words, the digests never round-trip
+    through host bytes — this is the e2e hot path for sign/verify_batch.
+    Host-hash fallback otherwise; both paths are bit-identical."""
+    n = len(msgs)
+    if alg.device_fn is not None and alg.pack_fn is not None and n >= 8:
+        try:
+            blocks = alg.pack_fn(msgs)
+        except ValueError:          # non-uniform block counts -> host
+            blocks = None
+        if blocks is not None:
+            key = (alg.name, q_ctx.p_int, q_ctx.k, "msgs->e")
+            if key not in _DIGEST_JITS:
+                bits = alg.digest_size * 8
+                dev = alg.device_fn
+                _DIGEST_JITS[key] = jax.jit(
+                    lambda blk: e_from_digest_bits(dev(blk), bits, q_ctx))
+            return _DIGEST_JITS[key](jnp.asarray(blocks))
+    words = digests_to_words([alg.hash(m) for m in msgs])
+    return e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8,
+                              q_ctx)
 
 
 def e_from_digest_bits(words, digest_bits: int, q_ctx: FpCtx,

@@ -198,9 +198,15 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     finalize) — output bytes are identical either way."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
-    digs = common.batch_digests(alg, msgs)
-    words = common.digests_to_words(digs)
-    e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
+    if deterministic and nonces is None:
+        # RFC 6979 needs the raw digests on host anyway
+        digs = common.batch_digests(alg, msgs)
+        words = common.digests_to_words(digs)
+        e = common.e_from_digest_bits(jnp.asarray(words),
+                                      alg.digest_size * 8, q_ctx)
+    else:
+        digs = None
+        e = common.e_from_msgs(alg, msgs, q_ctx)
     if nonces is None:
         if deterministic:
             nonces = [rfc6979_nonce(h1, curve.q, x, hash_name)
@@ -210,9 +216,11 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
             nb = (curve.q.bit_length() + 128) // 8
             nonces = []
             while len(nonces) < keys.n:
-                v = int.from_bytes(_os.urandom(nb), "big") % curve.q
-                if v:
-                    nonces.append(v)
+                blob = _os.urandom(nb * (keys.n - len(nonces)))
+                for i in range(0, len(blob), nb):
+                    v = int.from_bytes(blob[i:i + nb], "big") % curve.q
+                    if v:
+                        nonces.append(v)
     k = common.scalars_from_ints(q_ctx, nonces)
     if blinding:
         from . import wcore as _w
@@ -323,8 +331,7 @@ def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
     """Verify N signatures (r||s raw format). Returns accept mask."""
     curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
-    words = common.digests_to_words(common.batch_digests(alg, msgs))
-    e = common.e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8, q_ctx)
+    e = common.e_from_msgs(alg, msgs, q_ctx)
     nb = (curve.q.bit_length() + 7) // 8
     for sg in sigs:
         if len(sg) != 2 * nb:

@@ -259,8 +259,9 @@ def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
         raise ValueError("ed25519ctx requires context")
     pre = _dom(v, context)
     msgs_ph = [_prehash(v, m) for m in msgs]
-    rs = [_le_mod_q(_xof(v, pre, keys._prefix[i], m), q)
-          for i, m in enumerate(msgs_ph)]
+    alg = get_hash(v.hash_name)
+    rs = [_le_mod_q(d, q) for d in common.batch_digests(
+        alg, [pre + keys._prefix[i] + m for i, m in enumerate(msgs_ph)])]
     r_limbs = jnp.asarray(nn.batch_to_limbs(rs, c.q_ctx.k))
     jit_r = _cached_jit((c.name, "signR"),
                         lambda r: sign_mul_core(c, r, c.q_ctx.k * nn.LIMB_BITS))
@@ -268,8 +269,9 @@ def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
     ry_ints = nn.batch_from_limbs(np.asarray(ry))
     rsign_np = np.asarray(rsign)
     enc_R = [_enc_point(v, y, int(rsign_np[i])) for i, y in enumerate(ry_ints)]
-    ks = [_le_mod_q(_xof(v, pre, enc_R[i], keys.pub_bytes[i], m), q)
-          for i, m in enumerate(msgs_ph)]
+    ks = [_le_mod_q(d, q) for d in common.batch_digests(
+        alg, [pre + enc_R[i] + keys.pub_bytes[i] + m
+              for i, m in enumerate(msgs_ph)])]
     k_limbs = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
     jit_s = _cached_jit((c.name, "signS"),
                         lambda r, k, s: s_core(c, r, k, s))
@@ -303,7 +305,7 @@ def verify_batch(curve_or_variant, pub_keys: list[bytes],
     n = len(sigs)
     el = v.enc_len
     ymask = (1 << v.sign_bit) - 1
-    ay, asign, ry, rsign, S_l, k_l, pre_ok = [], [], [], [], [], [], []
+    ay, asign, ry, rsign, S_l, bufs, pre_ok = [], [], [], [], [], [], []
     for i in range(n):
         sig = sigs[i]
         ok = len(sig) == 2 * el and len(pub_keys[i]) == el
@@ -321,10 +323,12 @@ def verify_batch(curve_or_variant, pub_keys: list[bytes],
         ry.append(r_int & ymask)
         rsign.append((r_int >> v.sign_bit) & 1)
         S_l.append(s_int % (1 << (c.q_ctx.k * nn.LIMB_BITS)))
-        k = _le_mod_q(_xof(v, pre, encR, pub_keys[i].ljust(el, b"\x00"),
-                           msgs_ph[i]), q)
-        k_l.append(k)
+        bufs.append(pre + encR + pub_keys[i].ljust(el, b"\x00")
+                    + msgs_ph[i])
         pre_ok.append(ok)
+    # challenge hashes in one batch (device kernel when uniform)
+    k_l = [_le_mod_q(d, q)
+           for d in common.batch_digests(get_hash(v.hash_name), bufs)]
     kk = c.fp_ctx.k
     args = (
         jnp.asarray(nn.batch_to_limbs(ay, kk)),

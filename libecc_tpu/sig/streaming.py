@@ -112,20 +112,27 @@ class SignContext:
                 st.update(ch)
 
     def finalize(self):
-        """-> (sigs, ok_mask)."""
+        """-> (sigs, ok_mask). The context is invalidated afterwards —
+        update()/finalize() raise, and nonce/hash material is dropped
+        (reference zeroes the context after finalize,
+        ecdsa_common.c:571-573, to prevent reuse)."""
         if self._finalized:
             raise RuntimeError("context already finalized")
         self._finalized = True
-        curve, q_ctx, q = (self.keys.curve, self.keys.curve.q_ctx,
-                           self.keys.curve.q)
-        if self._mode == "hash":
-            digs = [st.digest() for st in self._states]
-            return _finalize_hash_then_sign(self, digs)
-        if self._mode == "commit":
-            digs = [st.digest() for st in self._states]
-            return _finalize_commit_first(self, digs)
-        raise NotImplementedError(
-            "use the scheme's one-shot batch API for buffered schemes")
+        try:
+            if self._mode == "hash":
+                digs = [st.digest() for st in self._states]
+                return _finalize_hash_then_sign(self, digs)
+            if self._mode == "commit":
+                digs = [st.digest() for st in self._states]
+                return _finalize_commit_first(self, digs)
+            raise NotImplementedError(
+                "use the scheme's one-shot batch API for buffered schemes")
+        finally:
+            for attr in ("_states", "_nonces", "_k_dev", "_k_ints",
+                         "_bufs"):
+                if hasattr(self, attr):
+                    setattr(self, attr, None)
 
 
 def _finalize_hash_then_sign(ctx: SignContext, digs):
@@ -321,8 +328,11 @@ class VerifyContext:
         self.adata = adata
         self.n = keys.n
         self._chunks = [b"" for _ in range(self.n)]
+        self._finalized = False
 
     def update(self, chunks):
+        if self._finalized:
+            raise RuntimeError("context already finalized")
         if isinstance(chunks, (bytes, bytearray)):
             chunks = [bytes(chunks)] * self.n
         for i, ch in enumerate(chunks):
@@ -331,9 +341,16 @@ class VerifyContext:
     def finalize(self):
         """-> accept mask. Delegates to the scheme's batch verifier (the
         streaming split is exercised on the sign side; verification
-        recomputes over the accumulated message)."""
+        recomputes over the accumulated message). Invalidates the
+        context, matching the sign side."""
+        if self._finalized:
+            raise RuntimeError("context already finalized")
+        self._finalized = True
         from .. import cli
         _, verify, _, _ = cli._scheme_mod(self.scheme)
         kw = {"adata": self.adata} if self.adata is not None else {}
-        return verify(self.keys, self._chunks, self.sigs, self.hash_name,
-                      **kw)
+        try:
+            return verify(self.keys, self._chunks, self.sigs,
+                          self.hash_name, **kw)
+        finally:
+            self._chunks = None

@@ -10,8 +10,7 @@ fused whole-pipeline run; use them for *relative* weight only.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libecc_axon_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# compile cache: enabled by libecc_tpu.__init__ via jax.config.update
 
 import numpy as np
 import jax

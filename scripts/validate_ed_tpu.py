@@ -9,8 +9,7 @@ Runs Ed25519 + Ed448 batched sign/verify at a kernel-eligible batch size
 
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libecc_axon_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# compile cache: enabled by libecc_tpu.__init__ via jax.config.update
 
 import numpy as np
 

@@ -11,11 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 # Persistent XLA compile cache: the suite's cost is dominated by CPU jit
-# compiles of per-curve ladder/Straus kernels; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/libecc_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# compiles of per-curve ladder/Straus kernels; libecc_tpu.__init__ enables
+# the cache via jax.config.update (the JAX_COMPILATION_CACHE_DIR env var
+# is ignored by this JAX build). Default dir: ~/.cache/libecc_tpu_jax;
+# override with LIBECC_TPU_JAX_CACHE.
 
 import random
 
