@@ -262,14 +262,15 @@ def _pack_bash_factory(digest_size: int):
         nblk = nblks.pop()
         # each block = the full rate region content (48 u32 LE words of
         # the first rate bytes; capacity area untouched by absorb)
-        out = np.zeros((nblk, rate // 4, n), np.uint32)
-        for j, m in enumerate(msgs):
+        datas = []
+        for m in msgs:
             rem = m[(nblk - 1) * rate:]
-            data = (m[: (nblk - 1) * rate] + rem + b"\x40"
-                    + b"\x00" * (rate - len(rem) - 1))
-            out[:, :, j] = np.frombuffer(
-                data, dtype="<u4").reshape(nblk, rate // 4)
-        return out
+            datas.append(m[: (nblk - 1) * rate] + rem + b"\x40"
+                         + b"\x00" * (rate - len(rem) - 1))
+        arr = np.frombuffer(b"".join(datas), dtype="<u4")
+        return np.ascontiguousarray(
+            arr.reshape(n, nblk, rate // 4).transpose(1, 2, 0)).astype(
+                np.uint32)
     return pack
 
 
@@ -484,14 +485,13 @@ def pack_blocks_belt(msgs: list[bytes]):
         raise ValueError("batch must pad to the same block count")
     nblk = nblks.pop()
     out = np.zeros((nblk, 9, n), np.uint32)
-    for j, m in enumerate(msgs):
-        rem = len(m) - (nblk - 1) * 32 if nblk else 0
-        data = m + b"\x00" * (nblk * 32 - len(m))
-        if nblk:
-            out[:, :8, j] = np.frombuffer(
-                data, dtype="<u4").reshape(nblk, 8)
-            out[:, 8, j] = 256
-            out[nblk - 1, 8, j] = 8 * rem
+    if nblk:
+        datas = [m + b"\x00" * (nblk * 32 - len(m)) for m in msgs]
+        arr = np.frombuffer(b"".join(datas), dtype="<u4")
+        out[:, :8, :] = arr.reshape(n, nblk, 8).transpose(1, 2, 0)
+        out[:, 8, :] = 256
+        out[nblk - 1, 8, :] = [8 * (len(m) - (nblk - 1) * 32)
+                               for m in msgs]
     return out
 
 

@@ -124,10 +124,10 @@ def pack_blocks_ripemd160(msgs: list[bytes]):
     if len(nblk) != 1:
         raise ValueError("batch must pad to the same block count")
     nblk = nblk.pop()
-    out = np.zeros((nblk, 16, len(msgs)), np.uint32)
-    for j, p in enumerate(padded):
-        out[:, :, j] = np.frombuffer(p, dtype="<u4").reshape(nblk, 16)
-    return out
+    arr = np.frombuffer(b"".join(padded), dtype="<u4")
+    return np.ascontiguousarray(
+        arr.reshape(len(msgs), nblk, 16).transpose(1, 2, 0)).astype(
+            np.uint32)
 
 
 def ripemd160_device(blocks):

@@ -210,11 +210,10 @@ def pack_blocks_sha256(msgs: list[bytes]) -> np.ndarray:
     if len(nblk) != 1:
         raise ValueError("all messages in a batch must pad to the same block count")
     nblk = nblk.pop()
-    out = np.zeros((nblk, 16, len(msgs)), np.uint32)
-    for j, p in enumerate(padded):
-        words = np.frombuffer(p, dtype=">u4").reshape(nblk, 16)
-        out[:, :, j] = words
-    return out
+    arr = np.frombuffer(b"".join(padded), dtype=">u4")
+    return np.ascontiguousarray(
+        arr.reshape(len(msgs), nblk, 16).transpose(1, 2, 0)).astype(
+            np.uint32)
 
 
 def _rotr(x, n):
@@ -277,11 +276,11 @@ def pack_blocks_sha512(msgs: list[bytes]) -> np.ndarray:
     if len(nblk) != 1:
         raise ValueError("batch must pad to the same block count")
     nblk = nblk.pop()
-    out = np.zeros((nblk, 32, len(msgs)), np.uint32)
-    for j, p in enumerate(padded):
-        words = np.frombuffer(p, dtype=">u4").reshape(nblk, 32)
-        out[:, :, j] = words                 # (hi, lo) interleaved naturally
-    return out
+    arr = np.frombuffer(b"".join(padded), dtype=">u4")
+    # (hi, lo) interleaved naturally in big-endian word order
+    return np.ascontiguousarray(
+        arr.reshape(len(msgs), nblk, 32).transpose(1, 2, 0)).astype(
+            np.uint32)
 
 
 def _add64(ah, al, bh, bl):

@@ -275,11 +275,11 @@ def pack_blocks_keccak(msgs: list[bytes], rate: int, dsbyte: int = 0x06):
         raise ValueError("batch must pad to the same block count")
     nblk = nblk.pop()
     rl = rate // 8
-    out = np.zeros((nblk, rl * 2, len(msgs)), np.uint32)
-    for j, p in enumerate(padded):
-        lanes = np.frombuffer(p, dtype="<u8").reshape(nblk, rl)
-        out[:, 0::2, j] = (lanes >> 32).astype(np.uint32)   # hi
-        out[:, 1::2, j] = (lanes & 0xFFFFFFFF).astype(np.uint32)  # lo
+    lanes = np.frombuffer(b"".join(padded), dtype="<u8").reshape(
+        len(msgs), nblk, rl).transpose(1, 2, 0)
+    out = np.empty((nblk, rl * 2, len(msgs)), np.uint32)
+    out[:, 0::2, :] = (lanes >> np.uint64(32)).astype(np.uint32)    # hi
+    out[:, 1::2, :] = (lanes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return out
 
 

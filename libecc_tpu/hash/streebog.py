@@ -128,14 +128,18 @@ def pack_blocks_streebog(msgs: list[bytes]):
     if len(nblks) != 1:
         raise ValueError("batch must pad to the same block count")
     nblk = nblks.pop()
-    out = np.zeros((nblk, 33, n), np.uint32)
+    datas = []
+    rems = np.empty(n, np.uint32)
     for j, m in enumerate(msgs):
         rem = m[(nblk - 1) * 64:]
-        data = m[: (nblk - 1) * 64] + rem + b"\x01" + b"\x00" * (63 - len(rem))
-        words = np.frombuffer(data, dtype="<u2").reshape(nblk, 32)
-        out[:, :32, j] = words
-        out[:, 32, j] = 512
-        out[nblk - 1, 32, j] = 8 * len(rem)
+        datas.append(m[: (nblk - 1) * 64] + rem + b"\x01"
+                     + b"\x00" * (63 - len(rem)))
+        rems[j] = 8 * len(rem)
+    arr = np.frombuffer(b"".join(datas), dtype="<u2")
+    out = np.empty((nblk, 33, n), np.uint32)
+    out[:, :32, :] = arr.reshape(n, nblk, 32).transpose(1, 2, 0)
+    out[:, 32, :] = 512
+    out[nblk - 1, 32, :] = rems
     return out
 
 
