@@ -17,13 +17,31 @@ import os as _os
 
 def _setup_compilation_cache():
     """Persistent XLA compilation cache: our graphs are wide (unrolled limb
-    arithmetic), so compiles are expensive but highly repetitive."""
+    arithmetic), so compiles are expensive but highly repetitive.
+
+    CPU-platform runs get a per-host subdirectory (platform + CPU-flags
+    fingerprint): CPU executables are AOT-compiled for the exact machine,
+    and loading an entry produced elsewhere (e.g. by a remote-compile
+    service with different machine features) can SIGSEGV/SIGILL in the
+    cache deserializer. Accelerator-platform runs share the flat dir."""
     try:
         import jax
         cache_dir = _os.environ.get(
             "LIBECC_TPU_JAX_CACHE",
             _os.path.join(_os.path.expanduser("~"), ".cache", "libecc_tpu_jax"),
         )
+        plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+        if plat and plat.lower() not in ("axon", "tpu"):
+            import hashlib
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((l for l in f if l.startswith("flags")), "")
+            except OSError:
+                flags = ""
+            import platform as _platform
+            tag = hashlib.sha256(
+                (flags + _platform.machine()).encode()).hexdigest()[:10]
+            cache_dir = _os.path.join(cache_dir, f"{plat.lower()}-{tag}")
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
