@@ -29,19 +29,23 @@ _DIGEST_JITS: dict = {}
 
 def batch_digests(alg, msgs: list[bytes]) -> list[bytes]:
     """Hash a message batch, on DEVICE when the algorithm has a batched
-    kernel and the batch packs to a uniform block count (one fused
-    dispatch instead of N sequential host hashes — this is what makes the
-    ECRDSA/BIGN/SM2 pipelines device-resident now that all 20 hashes
-    have kernels). Falls back to host hashing otherwise."""
+    kernel (one fused dispatch instead of N sequential host hashes — this
+    is what makes the ECRDSA/BIGN/SM2 pipelines device-resident now that
+    all 20 hashes have kernels). Batches whose messages pad to MIXED
+    block counts are bucketed by block count and dispatched per bucket
+    (each bucket lane-padded to a power of two to bound the number of
+    traced shapes); tiny buckets fall back to host hashing."""
     n = len(msgs)
     if alg.device_fn is None or alg.pack_fn is None or n < 8:
         return [alg.hash(m) for m in msgs]
     try:
         blocks = alg.pack_fn(msgs)
-    except ValueError:          # non-uniform block counts -> host
-        return [alg.hash(m) for m in msgs]
-    import jax
-    import jax.numpy as jnp
+    except ValueError:          # mixed block counts -> bucket per count
+        return _batch_digests_bucketed(alg, msgs)
+    return _dispatch_digests(alg, blocks, n)
+
+
+def _dispatch_digests(alg, blocks, n: int) -> list[bytes]:
     key = alg.name
     if key not in _DIGEST_JITS:
         _DIGEST_JITS[key] = jax.jit(alg.device_fn)
@@ -50,6 +54,39 @@ def batch_digests(alg, msgs: list[bytes]) -> list[bytes]:
     stride = out.shape[0] * 4
     return [raw[j * stride: j * stride + alg.digest_size]
             for j in range(n)]
+
+
+_NBLK_CACHE: dict = {}
+
+
+def _nblk_of(alg, length: int) -> int:
+    """Padded block count for a message of `length` bytes (derived from
+    the algorithm's own packer so every padding rule stays in one
+    place)."""
+    key = (alg.name, length)
+    if key not in _NBLK_CACHE:
+        _NBLK_CACHE[key] = int(alg.pack_fn([b"\x00" * length]).shape[0])
+    return _NBLK_CACHE[key]
+
+
+def _batch_digests_bucketed(alg, msgs: list[bytes]) -> list[bytes]:
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, m in enumerate(msgs):
+        groups[_nblk_of(alg, len(m))].append(i)
+    out: list = [None] * len(msgs)
+    for idxs in groups.values():
+        if len(idxs) < 8:
+            for i in idxs:
+                out[i] = alg.hash(msgs[i])
+            continue
+        sub = [msgs[i] for i in idxs]
+        lanes = 1 << (len(sub) - 1).bit_length()   # pow2 lane padding
+        sub = sub + [sub[-1]] * (lanes - len(sub))
+        digs = _dispatch_digests(alg, alg.pack_fn(sub), len(sub))
+        for j, i in enumerate(idxs):
+            out[i] = digs[j]
+    return out
 
 
 def digests_to_words(digs: list[bytes]) -> np.ndarray:
@@ -89,7 +126,7 @@ def e_from_msgs(alg, msgs: list[bytes], q_ctx):
                 _DIGEST_JITS[key] = jax.jit(
                     lambda blk: e_from_digest_bits(dev(blk), bits, q_ctx))
             return _DIGEST_JITS[key](jnp.asarray(blocks))
-    words = digests_to_words([alg.hash(m) for m in msgs])
+    words = digests_to_words(batch_digests(alg, msgs))
     return e_from_digest_bits(jnp.asarray(words), alg.digest_size * 8,
                               q_ctx)
 
