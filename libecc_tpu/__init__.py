@@ -14,6 +14,67 @@ with batch size, and across chips with `jax.sharding` over the batch axis.
 
 import os as _os
 
+_CPU_FP = None
+
+
+def _host_cpu_fingerprint() -> str:
+    """Identity of the PHYSICAL CPU, read with the CPUID instruction.
+
+    /proc/cpuinfo is NOT sufficient: on microVMs (Firecracker etc.) it is
+    a fixed template that survives migration of the VM across different
+    physical hosts, while XLA:CPU cache entries contain AOT-compiled
+    executables whose machine features (e.g. LLVM's prefer-no-gather /
+    prefer-no-scatter, set from the real CPU model) must match the
+    executing host — a stale entry can SIGILL or hang at dispatch. LLVM
+    derives those features from CPUID, so the raw CPUID leaves (vendor,
+    brand string, family/model/stepping, feature leaves) are exactly the
+    inputs that must key the cache."""
+    global _CPU_FP
+    if _CPU_FP is not None:
+        return _CPU_FP
+    import hashlib
+    import platform as _platform
+    words = None
+    try:
+        if _platform.machine() != "x86_64":
+            raise OSError("no cpuid")
+        import ctypes
+        import struct as _st
+        so = _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "libecc_tpu_cpuid.so")
+        if not _os.path.exists(so):
+            import subprocess
+            src = _os.path.join(_os.path.dirname(__file__), "..",
+                                "native", "cpuid_probe.c")
+            _os.makedirs(_os.path.dirname(so), exist_ok=True)
+            subprocess.run(["cc", "-O1", "-fPIC", "-shared", src,
+                            "-o", so], check=True, capture_output=True,
+                           timeout=60)
+        lib = ctypes.CDLL(so)
+        lib.ecc_cpuid.argtypes = [ctypes.c_uint, ctypes.c_uint,
+                                  ctypes.POINTER(ctypes.c_uint * 4)]
+        out = (ctypes.c_uint * 4)()
+        words = []
+        # vendor, family/model/stepping, feature leaves, brand string —
+        # the inputs LLVM's host detection derives machine features from
+        for leaf, sub in ((0, 0), (1, 0), (7, 0), (7, 1),
+                          (0x80000001, 0), (0x80000002, 0),
+                          (0x80000003, 0), (0x80000004, 0)):
+            lib.ecc_cpuid(leaf, sub, ctypes.byref(out))
+            words.extend(out)
+        _CPU_FP = hashlib.sha256(
+            _st.pack(f"<{len(words)}I", *words)).hexdigest()[:10]
+        return _CPU_FP
+    except Exception:
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        _CPU_FP = hashlib.sha256(
+            ("v2" + flags + _platform.machine()).encode()).hexdigest()[:10]
+        return _CPU_FP
+
 
 def _setup_compilation_cache():
     """Persistent XLA compilation cache: our graphs are wide (unrolled limb
@@ -32,15 +93,7 @@ def _setup_compilation_cache():
         )
         plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
         if plat and plat.lower() not in ("axon", "tpu"):
-            import hashlib
-            try:
-                with open("/proc/cpuinfo") as f:
-                    flags = next((l for l in f if l.startswith("flags")), "")
-            except OSError:
-                flags = ""
-            import platform as _platform
-            tag = hashlib.sha256(
-                (flags + _platform.machine()).encode()).hexdigest()[:10]
+            tag = _host_cpu_fingerprint()
             cache_dir = _os.path.join(cache_dir, f"{plat.lower()}-{tag}")
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -108,27 +108,52 @@ def _device_sm3(blocks):
         np.array([_rotl(0x79CC4519 if j < 16 else 0x7A879D8A, j)
                   for j in range(64)], np.uint32))
 
+    # Rounds run as lax.scan over 8-round chunks (two scans: the j<16
+    # boolean-function variant, then the majority variant). A fully
+    # unrolled 64-round chain triggers a superlinear XLA:CPU optimizer
+    # blowup (hours of compile past ~48 rounds, observed on multiple
+    # hosts); 8-round chunks keep intra-chunk fusion with O(1) compile.
+    CH = 8
+
+    def make_rounds(late: bool):
+        def chunk(state8, xs):
+            a, b, c, d, e, f, g, h = [state8[i] for i in range(8)]
+            for jj in range(CH):
+                t, wj, w1j = xs[0][jj], xs[1][jj], xs[2][jj]
+                ss1 = rotl(rotl(a, 12) + e + t, 7)
+                ss2 = ss1 ^ rotl(a, 12)
+                if late:
+                    ff = (a & b) | (a & c) | (b & c)
+                    gg = (e & f) | (~e & g)
+                else:
+                    ff = a ^ b ^ c
+                    gg = e ^ f ^ g
+                tt1 = ff + d + ss2 + w1j
+                tt2 = gg + h + ss1 + wj
+                d, c, b, a = c, rotl(b, 9), a, tt1
+                h, g, f, e = g, rotl(f, 19), e, p0(tt2)
+            return jnp.stack([a, b, c, d, e, f, g, h], 0), None
+        return chunk
+
     def block_step(state, blk):
         w = [blk[i] for i in range(16)]
         for j in range(16, 68):
             w.append(p1(w[j - 16] ^ w[j - 9] ^ rotl(w[j - 3], 15))
                      ^ rotl(w[j - 13], 7) ^ w[j - 6])
-        a, b, c, d, e, f, g, h = [state[i] for i in range(8)]
-        for j in range(64):
-            ss1 = rotl(rotl(a, 12) + e + tj[j], 7)
-            ss2 = ss1 ^ rotl(a, 12)
-            if j < 16:
-                ff = a ^ b ^ c
-                gg = e ^ f ^ g
-            else:
-                ff = (a & b) | (a & c) | (b & c)
-                gg = (e & f) | (~e & g)
-            tt1 = ff + d + ss2 + (w[j] ^ w[j + 4])
-            tt2 = gg + h + ss1 + w[j]
-            d, c, b, a = c, rotl(b, 9), a, tt1
-            h, g, f, e = g, rotl(f, 19), e, p0(tt2)
-        out = jnp.stack([a, b, c, d, e, f, g, h], 0)
-        return state ^ out, None
+        ws = jnp.stack(w, 0)                         # (68, *B)
+        w1 = ws[:64] ^ ws[4:]                        # (64, *B)
+        bshape = blk.shape[1:]
+        tjb = jnp.broadcast_to(
+            tj.reshape((64,) + (1,) * len(bshape)), (64,) + bshape)
+        chunks = lambda x, lo, hi: x[lo:hi].reshape(
+            ((hi - lo) // CH, CH) + x.shape[1:])
+        s8, _ = jax.lax.scan(
+            make_rounds(False), state,
+            (chunks(tjb, 0, 16), chunks(ws, 0, 16), chunks(w1, 0, 16)))
+        s8, _ = jax.lax.scan(
+            make_rounds(True), s8,
+            (chunks(tjb, 16, 64), chunks(ws, 16, 64), chunks(w1, 16, 64)))
+        return state ^ s8, None
 
     n = blocks.shape[-1]
     iv = jnp.broadcast_to(

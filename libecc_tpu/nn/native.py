@@ -29,10 +29,24 @@ def _load():
     if os.environ.get("LIBECC_TPU_NO_NATIVE"):
         return None
     try:
-        if not os.path.exists(_SO):
-            subprocess.run(["make", "-s"],
+        # the .so is built -march=native: rebuild when the PHYSICAL host
+        # changed under us (microVM migration — /proc/cpuinfo is a
+        # template; see libecc_tpu._host_cpu_fingerprint)
+        import libecc_tpu as _pkg
+        fp = _pkg._host_cpu_fingerprint()
+        fp_file = os.path.join(_ROOT, "native", "build", ".cpufp")
+        stale = True
+        try:
+            with open(fp_file) as f:
+                stale = f.read().strip() != fp
+        except OSError:
+            pass
+        if stale or not os.path.exists(_SO):
+            subprocess.run(["make", "-s", "-B"],
                            cwd=os.path.join(_ROOT, "native"),
                            check=True, capture_output=True, timeout=120)
+            with open(fp_file, "w") as f:
+                f.write(fp)
         lib = ctypes.CDLL(_SO)
         lib.be_bytes_to_limbs.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
