@@ -19,8 +19,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...nn import core as nn
-from .mont import SUBLANES, LANES, BLOCK, MAX_PALLAS_LIMBS
-from .point import _fmul, _fmul_c, _fadd, _fsub, _read, _write
+from .mont import SUBLANES, LANES, BLOCK, MAX_PALLAS_LIMBS, _interp
+from .point import _make_ops, _row_scratch, _use_rows
 
 
 def _consts(curve):
@@ -46,16 +46,9 @@ def _consts(curve):
     )
 
 
-def _ops(C):
-    k = C["k"]
-    mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
-    mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
-    sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"], C["sub_c0"], k)
-    return mul, mc, _fadd, sb
-
-
-def _add_body(C, X1, Y1, Z1, T1, X2, Y2, Z2, T2):
-    mul, mc, ad, sb = _ops(C)
+def _add_body(ops, X1, Y1, Z1, T1, X2, Y2, Z2, T2):
+    C = ops.C
+    mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
     if C["a_is_m1"]:
         A = mul(sb(Y1, X1), sb(Y2, X2))
         B = mul(ad(Y1, X1), ad(Y2, X2))
@@ -79,8 +72,9 @@ def _add_body(C, X1, Y1, Z1, T1, X2, Y2, Z2, T2):
     return mul(E, F), mul(G, H), mul(F, G), mul(E, H)
 
 
-def _dbl_body(C, X1, Y1, Z1):
-    mul, mc, ad, sb = _ops(C)
+def _dbl_body(ops, X1, Y1, Z1):
+    C = ops.C
+    mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
     A = mul(X1, X1)
     B = mul(Y1, Y1)
     Cs = mul(Z1, Z1)
@@ -94,7 +88,7 @@ def _dbl_body(C, X1, Y1, Z1):
     return mul(E, F), mul(G, H), mul(F, G), mul(E, H)
 
 
-def _pallas_call(kern, k, n_in, coords):
+def _pallas_call(kern, k, n_in, coords, rows):
     n = coords[0].shape[-1]
     g = n // BLOCK
     spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
@@ -105,6 +99,8 @@ def _pallas_call(kern, k, n_in, coords):
         kern, grid=(g,),
         in_specs=[spec] * n_in, out_specs=(spec,) * 4,
         out_shape=(sds,) * 4,
+        scratch_shapes=_row_scratch(k) if rows else [],
+        interpret=_interp(),
     )(*args)
     return tuple(o.reshape(k, n) for o in outs)
 
@@ -114,13 +110,15 @@ def _build_add(curve_key, k):
     from ...curves import edwards as edc
     C = _consts(edc.get_edwards_curve(curve_key))
 
-    def kern(x1, y1, z1, t1, x2, y2, z2, t2, ox, oy, oz, ot):
+    def kern(x1, y1, z1, t1, x2, y2, z2, t2, ox, oy, oz, ot, *scratch):
+        o = _make_ops(C, scratch)
         X3, Y3, Z3, T3 = _add_body(
-            C, _read(x1, k), _read(y1, k), _read(z1, k), _read(t1, k),
-            _read(x2, k), _read(y2, k), _read(z2, k), _read(t2, k))
-        _write(ox, X3); _write(oy, Y3); _write(oz, Z3); _write(ot, T3)
+            o, o.read(x1), o.read(y1), o.read(z1), o.read(t1),
+            o.read(x2), o.read(y2), o.read(z2), o.read(t2))
+        o.write(ox, X3); o.write(oy, Y3); o.write(oz, Z3); o.write(ot, T3)
 
-    return lambda coords: _pallas_call(kern, k, 8, coords)
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call(kern, k, 8, coords, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,12 +126,13 @@ def _build_dbl(curve_key, k):
     from ...curves import edwards as edc
     C = _consts(edc.get_edwards_curve(curve_key))
 
-    def kern(x1, y1, z1, ox, oy, oz, ot):
-        X3, Y3, Z3, T3 = _dbl_body(C, _read(x1, k), _read(y1, k),
-                                   _read(z1, k))
-        _write(ox, X3); _write(oy, Y3); _write(oz, Z3); _write(ot, T3)
+    def kern(x1, y1, z1, ox, oy, oz, ot, *scratch):
+        o = _make_ops(C, scratch)
+        X3, Y3, Z3, T3 = _dbl_body(o, o.read(x1), o.read(y1), o.read(z1))
+        o.write(ox, X3); o.write(oy, Y3); o.write(oz, Z3); o.write(ot, T3)
 
-    return lambda coords: _pallas_call(kern, k, 3, coords)
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call(kern, k, 3, coords, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -141,17 +140,17 @@ def _build_dbln_add(curve_key, k, ndbl):
     from ...curves import edwards as edc
     C = _consts(edc.get_edwards_curve(curve_key))
 
-    def kern(x1, y1, z1, t1, x2, y2, z2, t2, ox, oy, oz, ot):
-        X, Y, Z, T = (_read(x1, k), _read(y1, k), _read(z1, k),
-                      _read(t1, k))
+    def kern(x1, y1, z1, t1, x2, y2, z2, t2, ox, oy, oz, ot, *scratch):
+        o = _make_ops(C, scratch)
+        X, Y, Z, T = o.read(x1), o.read(y1), o.read(z1), o.read(t1)
         for _ in range(ndbl):
-            X, Y, Z, T = _dbl_body(C, X, Y, Z)
+            X, Y, Z, T = _dbl_body(o, X, Y, Z)
         X3, Y3, Z3, T3 = _add_body(
-            C, X, Y, Z, T,
-            _read(x2, k), _read(y2, k), _read(z2, k), _read(t2, k))
-        _write(ox, X3); _write(oy, Y3); _write(oz, Z3); _write(ot, T3)
+            o, X, Y, Z, T, o.read(x2), o.read(y2), o.read(z2), o.read(t2))
+        o.write(ox, X3); o.write(oy, Y3); o.write(oz, Z3); o.write(ot, T3)
 
-    return lambda coords: _pallas_call(kern, k, 8, coords)
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call(kern, k, 8, coords, rows)
 
 
 def supported(curve, P) -> bool:

@@ -34,8 +34,18 @@ LIMB_MASK = np.uint32(0x7FFF)
 SUBLANES = 8
 LANES = 128
 import os as _os
+# K cap for the Pallas path overall. Tile-list kernels run up to
+# point.UNROLLED_MAX_K (30); beyond that the row-vectorized backend
+# (rows.py) takes over, whose Mosaic instruction count is O(K) — raise
+# this to 48 to put the 512-bit curves and Ed448 on fused kernels once
+# the rows path is hardware-validated.
 MAX_PALLAS_LIMBS = int(_os.environ.get("LIBECC_TPU_PALLAS_MAX_K", "30"))
 BLOCK = SUBLANES * LANES
+
+
+def _interp() -> bool:
+    """Run pallas_call in interpreter mode (CPU differential testing)."""
+    return _os.environ.get("LIBECC_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def _relax(limbs):
@@ -235,7 +245,31 @@ def _build(p_int: int, k: int, square: bool):
     ctx = nn.MontCtx(p_int, k)
     p_limbs = tuple(int(v) for v in ctx.p)
     pinv_limbs = tuple(int(v) for v in ctx.pinv_full)
-    kern = functools.partial(_mont_kernel, p_limbs, pinv_limbs, k)
+    from .point import _use_rows, _row_scratch
+    rows_mode = _use_rows(k)
+    if rows_mode:
+        from .rows import RowOps
+        C = dict(k=k, p=p_limbs, pinv=pinv_limbs,
+                 sub_kc=int(ctx.sub_kc), sub_cc=int(ctx.sub_cc),
+                 sub_c0=tuple(int(v) for v in ctx.sub_c0))
+
+        def kern(a_ref, *rest):
+            if square:
+                o_ref, t_ref, m_ref = rest
+            else:
+                b_ref, o_ref, t_ref, m_ref = rest
+            ops = RowOps(C, t_ref, m_ref)
+            a = a_ref[...]
+            o_ref[...] = ops.mul(a, a if square else b_ref[...])
+        scratch = _row_scratch(k)
+    else:
+        kern = functools.partial(_mont_kernel, p_limbs, pinv_limbs, k)
+        scratch = [
+            pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # ar
+            pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # br
+            pltpu.VMEM((2 * k, SUBLANES, LANES), jnp.uint32),  # t
+            pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # m
+        ]
 
     def call(a, b=None):
         # a, b: (k, N) u32 with N % BLOCK == 0
@@ -252,12 +286,8 @@ def _build(p_int: int, k: int, square: bool):
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((k, n // LANES, LANES),
                                            jnp.uint32),
-            scratch_shapes=[
-                pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # ar
-                pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # br
-                pltpu.VMEM((2 * k, SUBLANES, LANES), jnp.uint32),  # t
-                pltpu.VMEM((k, SUBLANES, LANES), jnp.uint32),      # m
-            ],
+            scratch_shapes=scratch,
+            interpret=_interp(),
         )(*args)
         return out.reshape(k, n)
 

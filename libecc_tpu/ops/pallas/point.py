@@ -84,14 +84,68 @@ def _write(ref, limbs):
         ref[i] = v
 
 
+class TileOps:
+    """The original fully-unrolled list-of-(S,L)-tiles field-op set.
+    O(K^2) Mosaic instructions per multiply — fastest compiled code for
+    small K, but compile time explodes past K~30 (see rows.py)."""
+
+    def __init__(self, C):
+        self.C = C
+        k = C["k"]
+        self.mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
+        self.mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
+        self.ad = _fadd
+        self.sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"],
+                                     C["sub_c0"], k)
+        self.relax = _relax
+
+    def read(self, ref):
+        return _read(ref, self.C["k"])
+
+    def write(self, ref, v):
+        _write(ref, v)
+
+
+def _make_ops(C, scratch):
+    """scratch = () -> tile ops; (t_ref, m_ref) -> row-vectorized ops."""
+    if scratch:
+        from .rows import RowOps
+
+        class _R(RowOps):
+            def read(self, ref):
+                return ref[...]
+
+            def write(self, ref, v):
+                ref[...] = v
+
+        return _R(C, *scratch)
+    return TileOps(C)
+
+
+def _row_scratch(k):
+    """VMEM scratch for one RowOps instance (shared by every multiply in
+    the fused kernel): 2K column accumulator + K+1 truncated-product."""
+    return [pltpu.VMEM((2 * k, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((k + 1, SUBLANES, LANES), jnp.uint32)]
+
+
+# Mode split: tile-list kernels up to this K, row-vectorized beyond
+# (LIBECC_TPU_PALLAS_ROWS=1 forces rows everywhere — benchmarking knob).
+import os as _os
+UNROLLED_MAX_K = int(_os.environ.get("LIBECC_TPU_PALLAS_UNROLL_MAX_K", "30"))
+
+
+def _use_rows(k) -> bool:
+    return (k > UNROLLED_MAX_K
+            or _os.environ.get("LIBECC_TPU_PALLAS_ROWS", "0") == "1")
+
+
 # -- RCB complete formulas (mirror curves/shortw.py) ---------------------------
 
-def _add_body(C, X1, Y1, Z1, X2, Y2, Z2):
-    k = C["k"]
-    mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
-    mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
-    ad = _fadd
-    sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"], C["sub_c0"], k)
+def _add_body(ops, X1, Y1, Z1, X2, Y2, Z2):
+    C = ops.C
+    mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
+    _relax = ops.relax
     t0 = mul(X1, X2)
     t1 = mul(Y1, Y2)
     t2 = mul(Z1, Z2)
@@ -146,12 +200,10 @@ def _add_body(C, X1, Y1, Z1, X2, Y2, Z2):
     return sb(x3a, x3b), ad(y3a, y3b), ad(z3a, z3b)
 
 
-def _dbl_body(C, X, Y, Z):
-    k = C["k"]
-    mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
-    mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
-    ad = _fadd
-    sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"], C["sub_c0"], k)
+def _dbl_body(ops, X, Y, Z):
+    C = ops.C
+    mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
+    _relax = ops.relax
     t0 = mul(X, X)
     t1 = mul(Y, Y)
     t2 = mul(Z, Z)
@@ -225,34 +277,43 @@ def _curve_consts(curve):
     )
 
 
+def _pallas_call3(kern, k, n_in, coords, rows):
+    """Shared pallas_call wrapper: n_in coord inputs, 3 coord outputs,
+    row-mode scratch when the builder chose the rows backend."""
+    from .mont import _interp
+    n = coords[0].shape[-1]
+    g = n // BLOCK
+    spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    args = [c.reshape(k, n // LANES, LANES) for c in coords]
+    sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
+    outs = pl.pallas_call(
+        kern, grid=(g,),
+        in_specs=[spec] * n_in, out_specs=(spec, spec, spec),
+        out_shape=(sds, sds, sds),
+        scratch_shapes=_row_scratch(k) if rows else [],
+        interpret=_interp(),
+    )(*args)
+    return tuple(o.reshape(k, n) for o in outs)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_add(curve_key, k):
     from ...curves import params
     curve = params.get_curve(curve_key)
     C = _curve_consts(curve)
 
-    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        X3, Y3, Z3 = _add_body(C, _read(x1, k), _read(y1, k), _read(z1, k),
-                               _read(x2, k), _read(y2, k), _read(z2, k))
-        _write(ox, X3)
-        _write(oy, Y3)
-        _write(oz, Z3)
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz, *scratch):
+        ops = _make_ops(C, scratch)
+        X3, Y3, Z3 = _add_body(ops, ops.read(x1), ops.read(y1),
+                               ops.read(z1), ops.read(x2), ops.read(y2),
+                               ops.read(z2))
+        ops.write(ox, X3)
+        ops.write(oy, Y3)
+        ops.write(oz, Z3)
 
-    def call(coords):
-        n = coords[0].shape[-1]
-        g = n // BLOCK
-        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-        args = [c.reshape(k, n // LANES, LANES) for c in coords]
-        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
-        outs = pl.pallas_call(
-            kern, grid=(g,),
-            in_specs=[spec] * 6, out_specs=(spec, spec, spec),
-            out_shape=(sds, sds, sds),
-        )(*args)
-        return tuple(o.reshape(k, n) for o in outs)
-
-    return call
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call3(kern, k, 6, coords, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -261,27 +322,16 @@ def _build_dbl(curve_key, k):
     curve = params.get_curve(curve_key)
     C = _curve_consts(curve)
 
-    def kern(x1, y1, z1, ox, oy, oz):
-        X3, Y3, Z3 = _dbl_body(C, _read(x1, k), _read(y1, k), _read(z1, k))
-        _write(ox, X3)
-        _write(oy, Y3)
-        _write(oz, Z3)
+    def kern(x1, y1, z1, ox, oy, oz, *scratch):
+        ops = _make_ops(C, scratch)
+        X3, Y3, Z3 = _dbl_body(ops, ops.read(x1), ops.read(y1),
+                               ops.read(z1))
+        ops.write(ox, X3)
+        ops.write(oy, Y3)
+        ops.write(oz, Z3)
 
-    def call(coords):
-        n = coords[0].shape[-1]
-        g = n // BLOCK
-        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-        args = [c.reshape(k, n // LANES, LANES) for c in coords]
-        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
-        outs = pl.pallas_call(
-            kern, grid=(g,),
-            in_specs=[spec] * 3, out_specs=(spec, spec, spec),
-            out_shape=(sds, sds, sds),
-        )(*args)
-        return tuple(o.reshape(k, n) for o in outs)
-
-    return call
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call3(kern, k, 3, coords, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -295,31 +345,19 @@ def _build_dbln_add(curve_key, k, ndbl):
     curve = params.get_curve(curve_key)
     C = _curve_consts(curve)
 
-    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        X, Y, Z = _read(x1, k), _read(y1, k), _read(z1, k)
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz, *scratch):
+        ops = _make_ops(C, scratch)
+        X, Y, Z = ops.read(x1), ops.read(y1), ops.read(z1)
         for _ in range(ndbl):
-            X, Y, Z = _dbl_body(C, X, Y, Z)
-        X3, Y3, Z3 = _add_body(C, X, Y, Z,
-                               _read(x2, k), _read(y2, k), _read(z2, k))
-        _write(ox, X3)
-        _write(oy, Y3)
-        _write(oz, Z3)
+            X, Y, Z = _dbl_body(ops, X, Y, Z)
+        X3, Y3, Z3 = _add_body(ops, X, Y, Z, ops.read(x2), ops.read(y2),
+                               ops.read(z2))
+        ops.write(ox, X3)
+        ops.write(oy, Y3)
+        ops.write(oz, Z3)
 
-    def call(coords):
-        n = coords[0].shape[-1]
-        g = n // BLOCK
-        spec = pl.BlockSpec((k, SUBLANES, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-        args = [c.reshape(k, n // LANES, LANES) for c in coords]
-        sds = jax.ShapeDtypeStruct((k, n // LANES, LANES), jnp.uint32)
-        outs = pl.pallas_call(
-            kern, grid=(g,),
-            in_specs=[spec] * 6, out_specs=(spec, spec, spec),
-            out_shape=(sds, sds, sds),
-        )(*args)
-        return tuple(o.reshape(k, n) for o in outs)
-
-    return call
+    rows = _use_rows(k)
+    return lambda coords: _pallas_call3(kern, k, 6, coords, rows)
 
 
 def supported(curve, P) -> bool:
