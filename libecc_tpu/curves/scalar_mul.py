@@ -96,8 +96,10 @@ def _comb_disk_path(c, w: int, nbits: int):
     base = os.environ.get("LIBECC_TPU_COMB_CACHE",
                           "/tmp/libecc_tpu_comb_cache")
     os.makedirs(base, exist_ok=True)
-    # p in the key guards against same-named user-registered curves
-    tag = f"{c.name}-{w}-{nbits}-{c.fp_ctx.p_int % (1 << 64):016x}"
+    # p in the key guards against same-named user-registered curves;
+    # limb width changes the stored limb layout
+    tag = (f"{c.name}-{w}-{nbits}-{c.fp_ctx.p_int % (1 << 64):016x}"
+           + ("" if nn.LIMB_BITS == 15 else f"-lb{nn.LIMB_BITS}"))
     return os.path.join(base, tag + ".npz")
 
 

@@ -21,12 +21,23 @@ we return lane masks (bool arrays over the batch).
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-LIMB_BITS = 15
-LIMB_MASK = np.uint32(0x7FFF)
+# Limb width. 15 (default): products need lo/hi 15-bit splitting before
+# column accumulation (5 vector ops per limb product). 13: a full u32
+# product column sum of K terms stays below 2^32 for K <= 44 (every
+# supported field), so products accumulate RAW — ~2x fewer vector ops per
+# Montgomery multiply at the cost of 10% more limbs. Benchmarked per
+# hardware generation; all layers derive from this constant.
+LIMB_BITS = int(_os.environ.get("LIBECC_TPU_LIMB_BITS", "15"))
+assert LIMB_BITS in (13, 15), "supported limb widths: 13, 15"
+LIMB_MASK = np.uint32((1 << LIMB_BITS) - 1)
+# raw-column mode (see mont_mul_relaxed): only sound at <= 13 bits
+RAW_COLS = LIMB_BITS <= 13
 U32 = jnp.uint32
 
 
@@ -355,6 +366,47 @@ def _mul_columns(a, b):
     return jnp.sum(jnp.stack(rows, axis=0), axis=0)
 
 
+def _mul_columns_raw(a, b):
+    """RAW product columns (13-bit mode): uint32[Ka+Kb, *batch], column c
+    holding sum_{i+j=c} a_i*b_j with NO lo/hi splitting. Sound whenever
+    every column sum < 2^32 — with relaxed limbs <= 2^13 + 2^9 that is
+    K <= 44 (up to 546-bit moduli). 2 vector ops per limb product instead
+    of the 5 the split costs; the top column is structurally zero."""
+    ka, kb = a.shape[0], b.shape[0]
+    nc = ka + kb
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    prod = a[:, None] * b[None]                  # (Ka, Kb, *B)
+    rows = []
+    for i in range(ka):
+        pre = [(i, nc - i - kb)] + [(0, 0)] * len(bshape)
+        rows.append(jnp.pad(prod[i], pre))
+    return jnp.sum(jnp.stack(rows, axis=0), axis=0)
+
+
+def _carry_raw(cols):
+    """Exact carry-out value(cols)/R of an R-divisible RAW low half
+    (13-bit mode; the raw-mode analog of _f32_carry below).
+
+    Exact decomposition: with lo = cols & M, hi = cols >> 13,
+        carry = hi[k-1] + sum_{d>=1} (lo[k-d] + hi[k-d-1]) * 2^(-13 d).
+    Terms are <= 2^13 + 2^19 (exact in f32); the d>=4 tail is < 2^-32 and
+    three f32 adds round by < 0.2, so rint() recovers the integer."""
+    k = cols.shape[0]
+    lo = cols & LIMB_MASK
+    hi = cols >> LIMB_BITS
+
+    def f(x):
+        return x.astype(jnp.int32).astype(jnp.float32)
+
+    acc = f(hi[k - 1])
+    for d in range(1, 4):
+        term = lo[k - d]
+        if k - d - 1 >= 0:
+            term = term + hi[k - d - 1]
+        acc = acc + f(term) * np.float32(2.0 ** (-LIMB_BITS * d))
+    return jnp.rint(acc).astype(U32)
+
+
 def _carry_chain(cols, out_limbs: int):
     """Resolve relaxed columns into canonical 16-bit limbs.
     Returns (stacked limbs uint32[out_limbs, *B], final carry uint32[*B])."""
@@ -417,8 +469,11 @@ class MontCtx:
         self.sub_cc = np.uint32(cc)
         c1 = cc * (((1 << (LIMB_BITS * self.sub_kc)) - 1) // ((1 << LIMB_BITS) - 1))
         self.sub_c0 = to_limbs((-c1) % p, self.k)
-        # relaxed arithmetic is only sound with enough radix headroom
-        self.relaxed_ok = (self.R >> self.bits) >= (1 << 24)
+        # relaxed arithmetic is only sound with enough radix headroom;
+        # raw-column mode (13-bit limbs) additionally needs every column
+        # sum of K products < 2^32 -> K <= 44
+        self.relaxed_ok = (self.R >> self.bits) >= (1 << 24) and (
+            not RAW_COLS or self.k <= 44)
         self.r = to_limbs(self.r_int, self.k)
         self.r2 = to_limbs(self.r2_int, self.k)
         self.one_limbs = to_limbs(1, self.k)
@@ -571,14 +626,31 @@ def mont_mul_relaxed(a, b, ctx: MontCtx):
     assert ctx.relaxed_ok, "relaxed ops need a headroom ctx (use FpCtx)"
     k = ctx.k
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    pinv = _const_bcast(ctx.pinv_full, bshape)
+    p_arr = _const_bcast(ctx.p, bshape)
     ar = relax_once(a)
     br = relax_once(b)
+    if RAW_COLS:
+        # 13-bit raw-column SOS: no lo/hi splits anywhere; extra relax
+        # passes keep every column sum < 2^32 (bounds: cols of a raw
+        # product of relax-once'd operands <= K*2^26.3 < 2^31.8; after
+        # one relax, limbs <= 2^13+2^19; after two, <= 2^13+2^6).
+        t_cols = relax_once(_mul_columns_raw(ar, br))  # (2k): exact value
+        t_lo2 = relax_once(t_cols[:k])                # == T mod R
+        m = relax_once(relax_once(
+            _mul_columns_raw(t_lo2, pinv)[:k]))       # value < R(1+eps)
+        u_cols = _mul_columns_raw(m, p_arr)
+        s_lo = t_cols[:k] + u_cols[:k]                # value ≡ 0 (mod R)
+        carry = _carry_raw(s_lo)
+        hi = t_cols[k:] + u_cols[k:]
+        hi = hi.at[0].add(carry)
+        # double relax: output limbs <= 2^13+2^6, satisfying both the
+        # mul-input and the sub-complement (<= 2^17-1) contracts
+        return relax_once(relax_once(hi))
     t_cols = _mul_columns(ar, br)                     # (2k, *B), cols < 2^22
     # m = (T mod R) * (-p^-1) mod R, then relaxed so value(m) < R(1+2^-7)
-    pinv = _const_bcast(ctx.pinv_full, bshape)
     t_lo_r = relax_once(t_cols[:k])                   # mod R: top carry dropped
     m = relax_once(_mul_columns(t_lo_r, pinv)[:k])    # value < R(1+eps)
-    p_arr = _const_bcast(ctx.p, bshape)
     u_cols = _mul_columns(m, p_arr)                   # (2k, *B)
     s_lo = t_cols[:k] + u_cols[:k]                    # value ≡ 0 (mod R)
     carry = _f32_carry(s_lo)

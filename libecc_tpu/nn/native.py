@@ -28,6 +28,9 @@ def _load():
     _TRIED = True
     if os.environ.get("LIBECC_TPU_NO_NATIVE"):
         return None
+    from . import core as _core
+    if _core.LIMB_BITS != 15:
+        return None          # C++ converters hardcode 15-bit limbs
     try:
         # the .so is built -march=native: rebuild when the PHYSICAL host
         # changed under us (microVM migration — /proc/cpuinfo is a

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...nn import core as nn
 
 LIMB_BITS = nn.LIMB_BITS
-LIMB_MASK = np.uint32(0x7FFF)
+LIMB_MASK = np.uint32((1 << LIMB_BITS) - 1)
 
 # batch tile: SUBLANES x 128 lanes per grid step
 SUBLANES = 8
@@ -297,7 +297,10 @@ def _build(p_int: int, k: int, square: bool):
 def supported(ctx, shape) -> bool:
     """Kernel applicability: 2-D (K, N) batches, N % 1024 == 0, and a
     relaxed-capable context."""
+    from .point import _use_rows
+    # tile kernels implement the 15-bit sequence only; rows handles both
     return (len(shape) == 2 and shape[-1] % BLOCK == 0
+            and (nn.LIMB_BITS == 15 or _use_rows(ctx.k))
             and ctx.k <= MAX_PALLAS_LIMBS
             and getattr(ctx, "relaxed_ok", False))
 

@@ -361,7 +361,9 @@ def _build_dbln_add(curve_key, k, ndbl):
 
 
 def supported(curve, P) -> bool:
+    # tile kernels implement the 15-bit sequence only; rows handles both
     return (P.x.ndim == 2 and P.x.shape[-1] % BLOCK == 0
+            and (nn.LIMB_BITS == 15 or _use_rows(curve.fp_ctx.k))
             and curve.fp_ctx.k <= MAX_PALLAS_LIMBS
             and getattr(curve.fp_ctx, "relaxed_ok", False))
 

@@ -76,6 +76,44 @@ def _accum_tri(m_ref, a, c_arr, k, iota):
         m_ref[sl] = m_ref[sl] + s
 
 
+def _accum_full_raw(t_ref, a, b_arr, k):
+    """RAW accumulation (13-bit mode): whole u32 products, no lo/hi split
+    — row i contributes only to columns [i, i+K)."""
+    for i in range(k):
+        s = a[i][None] * b_arr
+        sl = (pl.ds(i, k), slice(None), slice(None))
+        t_ref[sl] = t_ref[sl] + s
+
+
+def _accum_tri_raw(m_ref, a, c_arr, k, iota):
+    """RAW truncated accumulation: only columns < K (pairs i+j < K)."""
+    for i in range(k):
+        p = a[i][None] * c_arr
+        p = jnp.where(iota < (k - i), p, jnp.uint32(0))
+        s = p[: k - i]
+        sl = (pl.ds(i, k - i), slice(None), slice(None))
+        m_ref[sl] = m_ref[sl] + s
+
+
+def _carry_raw_arr(s_lo):
+    """In-kernel mirror of nn.core._carry_raw (13-bit mode): exact
+    value/R of an R-divisible raw low half."""
+    k = s_lo.shape[0]
+    lo = s_lo & LIMB_MASK
+    hi = s_lo >> LIMB_BITS
+
+    def f(x):
+        return x.astype(jnp.int32).astype(jnp.float32)
+
+    acc = f(hi[k - 1])
+    for d in range(1, 4):
+        term = lo[k - d]
+        if k - d - 1 >= 0:
+            term = term + hi[k - d - 1]
+        acc = acc + f(term) * np.float32(2.0 ** (-LIMB_BITS * d))
+    return jnp.rint(acc).astype(jnp.int32).astype(jnp.uint32)
+
+
 def _f32_carry3(s3):
     """Exact carry of the R-divisible low half from its top 3 columns
     (s3 = s[k-3:k]); same exactly-rounded f32 dot as nn.core._f32_carry.
@@ -126,6 +164,22 @@ class RowOps:
         hi = jnp.concatenate([hi[:1] + carry, hi[1:]], 0)
         return relax_arr(hi)
 
+    def _redc_raw(self):
+        """13-bit raw-mode reduction tail — mirrors the RAW_COLS branch of
+        nn.core.mont_mul_relaxed exactly (t_ref holds the raw columns)."""
+        k, t_ref, m_ref = self.k, self.t_ref, self.m_ref
+        t_ref[...] = relax_arr(t_ref[...])         # exact value, cols small
+        t_lo2 = relax_arr(t_ref[pl.ds(0, k), :, :])
+        m_ref[...] = jnp.zeros((k + 1,) + t_lo2.shape[1:], jnp.uint32)
+        _accum_tri_raw(m_ref, t_lo2, self._pinv, k, self._iota)
+        m = relax_arr(relax_arr(m_ref[pl.ds(0, k), :, :]))
+        _accum_full_raw(t_ref, m, self._p, k)      # t += u = m*p -> s
+        s = t_ref[...]
+        carry = _carry_raw_arr(s[:k])
+        hi = s[k:]
+        hi = jnp.concatenate([hi[:1] + carry, hi[1:]], 0)
+        return relax_arr(relax_arr(hi))
+
     def mul(self, a, b):
         """Relaxed Montgomery product; bit-identical to
         nn.core.mont_mul_relaxed / point.py _fmul."""
@@ -133,6 +187,9 @@ class RowOps:
         ar = relax_arr(a)
         br = ar if b is a else relax_arr(b)
         self.t_ref[...] = jnp.zeros((2 * k,) + a.shape[1:], jnp.uint32)
+        if nn.RAW_COLS:
+            _accum_full_raw(self.t_ref, ar, br, k)
+            return self._redc_raw()
         _accum_full(self.t_ref, ar, br, k)
         return self._redc()
 
@@ -141,6 +198,9 @@ class RowOps:
         k = self.k
         ar = relax_arr(a)
         self.t_ref[...] = jnp.zeros((2 * k,) + a.shape[1:], jnp.uint32)
+        if nn.RAW_COLS:
+            _accum_full_raw(self.t_ref, ar, self.const(c_limbs), k)
+            return self._redc_raw()
         _accum_full(self.t_ref, ar, self.const(c_limbs), k)
         return self._redc()
 
