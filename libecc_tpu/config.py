@@ -6,6 +6,9 @@ Environment variables:
   LIBECC_TPU_PALLAS=0|1   force-disable/enable the fused Pallas kernels
                           (default: auto — enabled on TPU backends for
                           batch shapes the kernels support)
+  LIBECC_TPU_MEGAMUL=0|1  force-disable/enable the whole-scalar-mult
+                          Pallas mega-kernel (ops/pallas/megamul.py);
+                          default follows LIBECC_TPU_PALLAS
   LIBECC_TPU_NO_NATIVE=1  disable the native C++ host runtime
 """
 
@@ -14,6 +17,14 @@ from __future__ import annotations
 import os
 
 _PALLAS_CACHE: bool | None = None
+
+
+def use_megamul() -> bool:
+    """Whether the whole-scalar-mult mega-kernel may be dispatched."""
+    env = os.environ.get("LIBECC_TPU_MEGAMUL")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return use_pallas()
 
 
 def use_pallas() -> bool:

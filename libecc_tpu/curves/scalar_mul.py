@@ -292,14 +292,33 @@ def _table_gather(cls, table, idx):
     return punstack(cls, picked)
 
 
+def _megamul_dispatch(c, P, w: int, nwin: int, npairs: int = 1):
+    """Return the megamul module + model tag when the whole-scalar-mult
+    Pallas kernel applies (ops/pallas/megamul.py), else None."""
+    from ..config import use_megamul, use_pallas
+    if not (use_pallas() and use_megamul()):
+        return None
+    from ..ops.pallas import megamul
+    if megamul.supported(c, P, w, nwin, npairs):
+        return megamul, ("w" if len(P) == 3 else "ed")
+    return None
+
+
 def windowed_mul_public(c, m, P, nbits: int | None = None, w: int = 4):
     """Fixed-window m*P for public scalars: per-lane [0..2^w-1]P table,
-    scan over nbits/w windows of (w doublings + 1 table-add)."""
+    scan over nbits/w windows of (w doublings + 1 table-add).
+
+    On TPU the whole multiply runs as ONE Pallas kernel with the table
+    resident in VMEM (ops/pallas/megamul.py) — bit-identical schedule."""
     if nbits is None:
         nbits = c.scalar_bits()
     cls = type(P)
     table = _build_mul_table(c, P, 1 << w)
     digs = _window_digits(m, nbits, w)
+    mm = _megamul_dispatch(c, P, w, digs.shape[0])
+    if mm is not None:
+        mod, model = mm
+        return mod.windowed_mul(c, table, digs, cls, model, w)
     acc = c.pinf(like=P)
 
     def step(carry, d):
@@ -321,6 +340,18 @@ def straus_double_mul_public_w4(c, u, P, v, Q, nbits: int | None = None):
     if nbits is None:
         nbits = c.scalar_bits()
     cls = type(P)
+    # whole-mult mega-kernel when the dual tables fit VMEM: w=4 first,
+    # then w=3 (3 more adds per 12 bits, but no per-window HBM traffic)
+    for w in (4, 3):
+        nwin = -(-nbits // w)
+        mm = _megamul_dispatch(c, P, w, nwin, npairs=2)
+        if mm is not None:
+            mod, model = mm
+            ptab = _build_mul_table(c, P, 1 << w)
+            qtab = _build_mul_table(c, Q, 1 << w)
+            du = _window_digits(u, nbits, w)
+            dv = _window_digits(v, nbits, w)
+            return mod.straus_mul(c, ptab, du, qtab, dv, cls, model, w)
     ptab = _build_mul_table(c, P, 16)
     qtab = _build_mul_table(c, Q, 16)
     du = _window_digits(u, nbits, 4)

@@ -76,8 +76,11 @@ def _combined_check(curve, zs_dev, e2_dev, Y, R, c_int):
 
     def core(zs, e2, Ys, Rs, c_dev):
         Yp, Rp = punstack(cls, Ys), punstack(cls, Rs)
-        rhs_lanes = scalar_mul.straus_double_mul_public(curve, zs, Rp,
-                                                        e2, Yp)
+        # w=4 separate-table Straus: rides the whole-scalar-mult Pallas
+        # mega-kernel on TPU (ops/pallas/megamul.py); same op count as
+        # the w=2 joint table but 4x fewer scan/window steps
+        rhs_lanes = scalar_mul.straus_double_mul_public_w4(curve, zs, Rp,
+                                                           e2, Yp)
         rhs = point_tree_reduce(curve, rhs_lanes)
         lhs = scalar_mul.fixed_base_mul(curve, c_dev, secret=False)
         # projective equality (works for both Weierstrass (X:Y:Z) and
@@ -89,7 +92,9 @@ def _combined_check(curve, zs_dev, e2_dev, Y, R, c_int):
                         fp.mul(rhs.y, lhs.z, ctx), ctx)
         return ex & ey
 
-    key = (curve.name, n, cls.__name__, "combined_check")
+    from ..config import use_megamul, use_pallas
+    key = (curve.name, n, cls.__name__, "combined_check",
+           use_pallas(), use_megamul())
     if key not in _JITS:
         _JITS[key] = jax.jit(core)
     c_dev = jnp.asarray(nn.batch_to_limbs([c_int], q_ctx.k))

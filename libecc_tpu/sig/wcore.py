@@ -30,6 +30,11 @@ _JITS: dict = {}
 
 
 def cached_jit(key, make_fn):
+    # the compute-path switches are read at TRACE time, so they must be
+    # part of the cache key or a runtime flip (e.g. bench.py's megamul
+    # fallback, tests toggling LIBECC_TPU_PALLAS) would reuse stale traces
+    from ..config import use_megamul, use_pallas
+    key = (key, use_pallas(), use_megamul())
     if key not in _JITS:
         _JITS[key] = jax.jit(make_fn())
     return _JITS[key]
