@@ -146,19 +146,25 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="BELT_HASH", nonces=None,
 
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="BELT_HASH",
                  adata=DEFAULT_ADATA):
-    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
+    return verify_digests_batch(keys, common.batch_digests(alg, msgs),
+                                sigs, hash_name, adata)
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs,
+                         hash_name="BELT_HASH", adata=DEFAULT_ADATA):
+    """Digest-level verify (streaming finalize path)."""
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     oid, _t = parse_adata(adata)
     q_len = (q.bit_length() + 7) // 8
     l = q_len // 2
     two_l = pow(2, 8 * l, q)
     us, vs, pre_ok, s0_l, hs = [], [], [], [], []
-    for m, sg in zip(msgs, sigs):
+    for h, sg in zip(digs, sigs):
         ok = len(sg) == l + q_len
         s0 = sg[:l] if ok else b"\x00" * l
         s1 = int.from_bytes(sg[l:], "little") if ok else 0
         ok = ok and s1 < q
-        h = alg.hash(m)
         h_bar = int.from_bytes(h, "little") % q
         us.append((h_bar + s1) % q)
         vs.append((int.from_bytes(s0, "little") % q + two_l) % q)

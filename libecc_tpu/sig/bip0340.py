@@ -143,10 +143,35 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     return sigs, np.array(ok) & (~np.asarray(inf))
 
 
+def challenge_prefix(curve, alg, sig: bytes, pub_x: int) -> bytes:
+    """The tagged-hash input bytes ahead of the message:
+    H(tag) || H(tag) || Rx || Px (streaming verify absorbs this at init,
+    then the message streams through the same hash state)."""
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    q_len = (curve.q.bit_length() + 7) // 8
+    r = (int.from_bytes(sig[:p_len], "big")
+         if len(sig) == p_len + q_len else 0)
+    th = alg.hash(b"BIP0340/challenge")
+    return (th + th + r.to_bytes(p_len, "big")
+            + int(pub_x).to_bytes(p_len, "big"))
+
+
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
+    curve, q = keys.curve, keys.curve.q
+    alg = get_hash(hash_name)
+    xs_pub, _, _ = keys.pub_affine_ints()
+    digs = common.batch_digests(
+        alg, [challenge_prefix(curve, alg, sigs[i], xs_pub[i]) + m
+              for i, m in enumerate(msgs)])
+    return verify_digests_batch(keys, digs, sigs, hash_name)
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs, hash_name="SHA256",
+                         adata=None):
+    """Digest-level verify: digs are the BIP-340 challenge digests
+    H(tag)||H(tag)||Rx||Px||m per lane (streaming finalize path)."""
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     p = curve.fp_ctx.p_int
-    alg = get_hash(hash_name)
     p_len = (curve.fp_ctx.bits + 7) // 8
     q_len = (q.bit_length() + 7) // 8
     xs_pub, ys_pub, _ = keys.pub_affine_ints()
@@ -156,16 +181,12 @@ def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
     pub_even = pubkey_batch_from_affine_ints(curve, "BIP0340",
                                              list(xs_pub), ys_even)
     us, vs, rs, pre_ok = [], [], [], []
-    for i, (m, sg) in enumerate(zip(msgs, sigs)):
+    for i, sg in enumerate(sigs):
         ok = len(sg) == p_len + q_len
         r = int.from_bytes(sg[:p_len], "big") if ok else 0
         s = int.from_bytes(sg[p_len:], "big") if ok else 0
         ok = ok and r < p and 0 < s < q
-        e = int.from_bytes(
-            tagged_hash(alg, b"BIP0340/challenge",
-                        r.to_bytes(p_len, "big"),
-                        xs_pub[i].to_bytes(p_len, "big"), m),
-            "big") % q
+        e = int.from_bytes(digs[i], "big") % q
         us.append(s)
         vs.append((-e) % q)
         rs.append(r)

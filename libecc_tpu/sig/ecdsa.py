@@ -329,9 +329,25 @@ def public_key_from_sig_batch(curve, msgs: list[bytes], sigs: list[bytes],
 def verify_batch(keys, msgs: list[bytes], sigs: list[bytes],
                  hash_name="SHA256", adata=None):
     """Verify N signatures (r||s raw format). Returns accept mask."""
-    curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
-    e = common.e_from_msgs(alg, msgs, q_ctx)
+    e = common.e_from_msgs(alg, msgs, keys.curve.q_ctx)
+    return _verify_with_e(keys, e, sigs)
+
+
+def verify_digests_batch(keys, digs: list[bytes], sigs: list[bytes],
+                         hash_name="SHA256", adata=None):
+    """Digest-level verify — the streaming VerifyContext finalize path
+    (reference: ec_verify_finalize consumes the hash context,
+    sig_algs.c:294+). Bit-identical to verify_batch on H(m)=digs."""
+    alg = get_hash(hash_name)
+    e = common.e_from_digest_bits(
+        jnp.asarray(common.digests_to_words(digs)),
+        alg.digest_size * 8, keys.curve.q_ctx)
+    return _verify_with_e(keys, e, sigs)
+
+
+def _verify_with_e(keys, e, sigs):
+    curve, q_ctx = keys.curve, keys.curve.q_ctx
     nb = (curve.q.bit_length() + 7) // 8
     for sg in sigs:
         if len(sg) != 2 * nb:

@@ -50,17 +50,32 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
 
 
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
-    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
-    p = curve.fp_ctx.p_int
+    curve, q = keys.curve, keys.curve.q
     alg = get_hash(hash_name)
+    digs = common.batch_digests(
+        alg, [r_prefix(curve, sg, q) + m for m, sg in zip(msgs, sigs)])
+    return verify_digests_batch(keys, digs, sigs, hash_name)
+
+
+def r_prefix(curve, sig: bytes, q: int) -> bytes:
+    """The r = (Wx || Wy) bytes hashed ahead of the message (zeros for
+    malformed signatures, matching the one-shot path)."""
     p_len = (curve.fp_ctx.bits + 7) // 8
     nb = (q.bit_length() + 7) // 8
-    digs = common.batch_digests(
-        alg, [(sg[:2 * p_len] if len(sg) == 2 * p_len + nb
-               else b"\x00" * (2 * p_len)) + m
-              for m, sg in zip(msgs, sigs)])
+    return (sig[:2 * p_len] if len(sig) == 2 * p_len + nb
+            else b"\x00" * (2 * p_len))
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs, hash_name="SHA256",
+                         adata=None):
+    """Digest-level verify: digs are H(r || m) per lane (streaming
+    finalize path — r comes from the signature, absorbed at init)."""
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
+    p = curve.fp_ctx.p_int
+    p_len = (curve.fp_ctx.bits + 7) // 8
+    nb = (q.bit_length() + 7) // 8
     us, vs, pre_ok, rx_l, ry_l = [], [], [], [], []
-    for i, (m, sg) in enumerate(zip(msgs, sigs)):
+    for i, sg in enumerate(sigs):
         ok = len(sg) == 2 * p_len + nb
         r = sg[:2 * p_len] if ok else b"\x00" * (2 * p_len)
         s = int.from_bytes(sg[2 * p_len:], "big") if ok else 0

@@ -56,11 +56,17 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
 
 
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
-    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
+    return verify_digests_batch(keys, common.batch_digests(alg, msgs),
+                                sigs, hash_name)
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs, hash_name="SHA256",
+                         adata=None):
+    """Digest-level verify (streaming finalize path)."""
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     nb = (q.bit_length() + 7) // 8
     us, vs, pre_ok = [], [], []
-    digs = common.batch_digests(alg, msgs)
     for dg, sg in zip(digs, sigs):
         ok = len(sg) == 2 * nb
         r = int.from_bytes(sg[:nb], "big") if ok else 0

@@ -90,22 +90,38 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     return sigs, np.asarray(ok)
 
 
+def z_blocks(keys: KeyBatch, alg) -> list[bytes]:
+    """Per-lane certificate data z = (Wx || Wy) zero-padded/truncated to
+    one hash block (the prefix of every ECKCDSA message hash)."""
+    p_len = (keys.curve.fp_ctx.bits + 7) // 8
+    xs_pub, ys_pub, _ = keys.pub_affine_ints()
+    out = []
+    for i in range(keys.n):
+        z = (int(xs_pub[i]).to_bytes(p_len, "big")
+             + int(ys_pub[i]).to_bytes(p_len, "big"))
+        out.append((z + b"\x00" * alg.block_size)[: alg.block_size])
+    return out
+
+
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SHA256", adata=None):
+    alg = get_hash(hash_name)
+    zs = z_blocks(keys, alg)
+    digs = common.batch_digests(alg, [zs[i] + m
+                                      for i, m in enumerate(msgs)])
+    return verify_digests_batch(keys, digs, sigs, hash_name)
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs, hash_name="SHA256",
+                         adata=None):
+    """Digest-level verify: digs are H(z || m) per lane (streaming
+    finalize path — z is absorbed at init, the message streams)."""
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     rl = _r_len(curve, alg)
     nb = (q.bit_length() + 7) // 8
     p_len = (curve.fp_ctx.bits + 7) // 8
-    xs_pub, ys_pub, _ = keys.pub_affine_ints()
-    bufs = []
-    for i, m in enumerate(msgs):
-        z = (int(xs_pub[i]).to_bytes(p_len, "big")
-             + int(ys_pub[i]).to_bytes(p_len, "big"))
-        z = (z + b"\x00" * alg.block_size)[: alg.block_size]
-        bufs.append(z + m)
-    digs = common.batch_digests(alg, bufs)
     es, ss, pre_ok, r_bufs = [], [], [], []
-    for i, (m, sg) in enumerate(zip(msgs, sigs)):
+    for i, sg in enumerate(sigs):
         ok = len(sg) == rl + nb
         r = sg[:rl] if ok else b"\x00" * rl
         s = int.from_bytes(sg[rl:], "big") if ok else 0

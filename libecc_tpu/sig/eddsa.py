@@ -196,6 +196,11 @@ _JITS: dict = {}
 
 
 def _cached_jit(key, fn):
+    # compute-path switches are trace-time decisions: key on them so a
+    # runtime flip (bench fallback, test toggles) retraces (wcore.cached_jit
+    # has the same rule)
+    from ..config import use_megamul, use_pallas
+    key = (key, use_pallas(), use_megamul())
     if key not in _JITS:
         _JITS[key] = jax.jit(fn)
     return _JITS[key]
@@ -246,22 +251,16 @@ class EdDSAKeyBatch:
             _enc_point(v, y, int(sg[i])) for i, y in enumerate(ys)]
 
 
-def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
-               context: bytes = b"") -> list[bytes]:
-    """Batched EdDSA signing. Returns 2*enc_len-byte signatures.
-    Reference: eddsa.c sign :1221-1553."""
-    v = get_variant(variant) if variant else keys.variant_family
-    c = keys.curve
-    q = c.q
+def check_context_rules(v: Variant, context: bytes) -> None:
     if v.name == "ed25519" and context:
         raise ValueError("plain ed25519 takes no context")
     if v.name == "ed25519ctx" and not context:
         raise ValueError("ed25519ctx requires context")
-    pre = _dom(v, context)
-    msgs_ph = [_prehash(v, m) for m in msgs]
-    alg = get_hash(v.hash_name)
-    rs = [_le_mod_q(d, q) for d in common.batch_digests(
-        alg, [pre + keys._prefix[i] + m for i, m in enumerate(msgs_ph)])]
+
+
+def r_points(keys: EdDSAKeyBatch, v: Variant, rs: list[int]):
+    """R = r*B for per-lane nonce scalars -> (r limb batch, encoded R)."""
+    c = keys.curve
     r_limbs = jnp.asarray(nn.batch_to_limbs(rs, c.q_ctx.k))
     jit_r = _cached_jit((c.name, "signR"),
                         lambda r: sign_mul_core(c, r, c.q_ctx.k * nn.LIMB_BITS))
@@ -269,9 +268,13 @@ def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
     ry_ints = nn.batch_from_limbs(np.asarray(ry))
     rsign_np = np.asarray(rsign)
     enc_R = [_enc_point(v, y, int(rsign_np[i])) for i, y in enumerate(ry_ints)]
-    ks = [_le_mod_q(d, q) for d in common.batch_digests(
-        alg, [pre + enc_R[i] + keys.pub_bytes[i] + m
-              for i, m in enumerate(msgs_ph)])]
+    return r_limbs, enc_R
+
+
+def assemble_sigs(keys: EdDSAKeyBatch, v: Variant, r_limbs, enc_R,
+                  ks: list[int]) -> list[bytes]:
+    """S = (r + k*s) mod q on device; wire signatures R || S."""
+    c = keys.curve
     k_limbs = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
     jit_s = _cached_jit((c.name, "signS"),
                         lambda r, k, s: s_core(c, r, k, s))
@@ -279,6 +282,25 @@ def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
     s_ints = nn.batch_from_limbs(np.asarray(S))
     return [enc_R[i] + s_ints[i].to_bytes(v.enc_len, "little")
             for i in range(keys.n)]
+
+
+def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
+               context: bytes = b"") -> list[bytes]:
+    """Batched EdDSA signing. Returns 2*enc_len-byte signatures.
+    Reference: eddsa.c sign :1221-1553."""
+    v = get_variant(variant) if variant else keys.variant_family
+    q = keys.curve.q
+    check_context_rules(v, context)
+    pre = _dom(v, context)
+    msgs_ph = [_prehash(v, m) for m in msgs]
+    alg = get_hash(v.hash_name)
+    rs = [_le_mod_q(d, q) for d in common.batch_digests(
+        alg, [pre + keys._prefix[i] + m for i, m in enumerate(msgs_ph)])]
+    r_limbs, enc_R = r_points(keys, v, rs)
+    ks = [_le_mod_q(d, q) for d in common.batch_digests(
+        alg, [pre + enc_R[i] + keys.pub_bytes[i] + m
+              for i, m in enumerate(msgs_ph)])]
+    return assemble_sigs(keys, v, r_limbs, enc_R, ks)
 
 
 def verify_batch(curve_or_variant, pub_keys: list[bytes],
@@ -298,14 +320,27 @@ def verify_batch(curve_or_variant, pub_keys: list[bytes],
         raise ValueError("pass a variant name or curve")
     c = ed.get_edwards_curve(v.curve_name)
     q = c.q
-    if v.name == "ed25519" and context:
-        raise ValueError("plain ed25519 takes no context")
+    check_context_rules(v, context)
     pre = _dom(v, context)
     msgs_ph = [_prehash(v, m) for m in msgs]
+    parsed = parse_verify_inputs(c, v, pub_keys, sigs)
+    bufs = [pre + parsed["enc_R"][i] + parsed["pubs"][i] + msgs_ph[i]
+            for i in range(len(sigs))]
+    # challenge hashes in one batch (device kernel when uniform)
+    k_l = [_le_mod_q(d, q)
+           for d in common.batch_digests(get_hash(v.hash_name), bufs)]
+    return verify_with_challenges(c, parsed, k_l)
+
+
+def parse_verify_inputs(c: EdwardsCurve, v: Variant, pub_keys, sigs):
+    """Decode wire signatures + public keys into batched verify inputs
+    (signature parsing happens at init in the reference's verify_init,
+    eddsa.c:1912+). Returns a dict consumed by verify_with_challenges."""
     n = len(sigs)
     el = v.enc_len
     ymask = (1 << v.sign_bit) - 1
-    ay, asign, ry, rsign, S_l, bufs, pre_ok = [], [], [], [], [], [], []
+    out = {"ay": [], "asign": [], "ry": [], "rsign": [], "S_l": [],
+           "enc_R": [], "pubs": [], "pre_ok": []}
     for i in range(n):
         sig = sigs[i]
         ok = len(sig) == 2 * el and len(pub_keys[i]) == el
@@ -318,27 +353,30 @@ def verify_batch(curve_or_variant, pub_keys: list[bytes],
         # non-canonical high bits (e.g. ed448 byte 56 ≠ sign only) invalidate
         ok = ok and (a_int & ~(ymask | (1 << v.sign_bit))) == 0 \
             and (r_int & ~(ymask | (1 << v.sign_bit))) == 0
-        ay.append(a_int & ymask)
-        asign.append((a_int >> v.sign_bit) & 1)
-        ry.append(r_int & ymask)
-        rsign.append((r_int >> v.sign_bit) & 1)
-        S_l.append(s_int % (1 << (c.q_ctx.k * nn.LIMB_BITS)))
-        bufs.append(pre + encR + pub_keys[i].ljust(el, b"\x00")
-                    + msgs_ph[i])
-        pre_ok.append(ok)
-    # challenge hashes in one batch (device kernel when uniform)
-    k_l = [_le_mod_q(d, q)
-           for d in common.batch_digests(get_hash(v.hash_name), bufs)]
+        out["ay"].append(a_int & ymask)
+        out["asign"].append((a_int >> v.sign_bit) & 1)
+        out["ry"].append(r_int & ymask)
+        out["rsign"].append((r_int >> v.sign_bit) & 1)
+        out["S_l"].append(s_int % (1 << (c.q_ctx.k * nn.LIMB_BITS)))
+        out["enc_R"].append(encR)
+        out["pubs"].append(pub_keys[i].ljust(el, b"\x00"))
+        out["pre_ok"].append(ok)
+    return out
+
+
+def verify_with_challenges(c: EdwardsCurve, parsed, k_l: list[int]):
+    """Run the batched device verify given per-lane challenge scalars
+    k = H(dom || R || A || PH(M)) mod q."""
     kk = c.fp_ctx.k
     args = (
-        jnp.asarray(nn.batch_to_limbs(ay, kk)),
-        jnp.asarray(np.array(asign, np.uint32)),
-        jnp.asarray(nn.batch_to_limbs(ry, kk)),
-        jnp.asarray(np.array(rsign, np.uint32)),
-        jnp.asarray(nn.batch_to_limbs(S_l, c.q_ctx.k)),
+        jnp.asarray(nn.batch_to_limbs(parsed["ay"], kk)),
+        jnp.asarray(np.array(parsed["asign"], np.uint32)),
+        jnp.asarray(nn.batch_to_limbs(parsed["ry"], kk)),
+        jnp.asarray(np.array(parsed["rsign"], np.uint32)),
+        jnp.asarray(nn.batch_to_limbs(parsed["S_l"], c.q_ctx.k)),
         jnp.asarray(nn.batch_to_limbs(k_l, c.q_ctx.k)),
     )
     jit_v = _cached_jit((c.name, "verify"),
                         lambda *a: verify_core(c, *a))
     acc = np.asarray(jit_v(*args))
-    return acc & np.array(pre_ok)
+    return acc & np.array(parsed["pre_ok"])

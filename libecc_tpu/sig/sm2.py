@@ -81,13 +81,25 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SM3", nonces=None,
 
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="SM3",
                  adata=DEFAULT_ID):
-    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     ident = adata if adata is not None else DEFAULT_ID
+    return _verify_with_es(keys, _e_vals(keys, msgs, alg, ident), sigs)
+
+
+def verify_digests_batch(keys: KeyBatch, digs, sigs, hash_name="SM3",
+                         adata=DEFAULT_ID):
+    """Digest-level verify: digs are H(ZA || m) per lane (streaming
+    finalize path — ZA is absorbed at init, the message streams)."""
+    q = keys.curve.q
+    return _verify_with_es(
+        keys, [int.from_bytes(d, "big") % q for d in digs], sigs)
+
+
+def _verify_with_es(keys: KeyBatch, es, sigs):
+    curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     nb = (q.bit_length() + 7) // 8
-    es = _e_vals(keys, msgs, alg, ident)
     ss, ts, rs, pre_ok = [], [], [], []
-    for m, sg in zip(msgs, sigs):
+    for sg in sigs:
         ok = len(sg) == 2 * nb
         r = int.from_bytes(sg[:nb], "big") if ok else 0
         s = int.from_bytes(sg[nb:], "big") if ok else 0

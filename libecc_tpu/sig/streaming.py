@@ -13,11 +13,13 @@ SM2's ZA||m digest) also stream through the hash after the nonce
 commitment W = kG is fixed at init — matching the reference's design
 where k is drawn in sign_init (ecsdsa_common.c sign_init).
 EdDSA is inherently two-pass over the message (RFC 8032 derives r from
-H(prefix || M)) — its context buffers, as a documented exception.
-NOTE: the reference refuses streaming for pure EdDSA outright
-(sign_init = unsupported_sign_init, sig_algs_internal.h:455,:471; only
-the ph variants stream) — buffering here is therefore a capability
-superset, not a parity gap.
+H(prefix || M)). EdDSASignContext/EdDSAVerifyContext provide BOUNDED
+memory anyway: ph variants stream the message through the prehash (the
+reference's only streaming mode, sig_algs_internal.h:455,:471); pure
+variants use an explicit two-pass protocol (stream M, second_pass(),
+stream M again) — a capability superset of the reference, which refuses
+streaming for pure EdDSA outright. Pure-EdDSA verification streams in
+ONE pass: R and A are known from the signature at init.
 """
 
 from __future__ import annotations
@@ -93,7 +95,13 @@ class SignContext:
                                          ident))
             self._mode = "commit"
         else:
-            # EdDSA-style two-pass schemes buffer (documented exception)
+            if self.scheme.startswith("EDDSA") or self.scheme.lower() in (
+                    "ed25519", "ed25519ctx", "ed25519ph", "ed448",
+                    "ed448ph"):
+                raise TypeError(
+                    "EdDSA streams through EdDSASignContext (bounded-"
+                    "memory: one pass for ph variants, two-pass protocol "
+                    "for pure variants)")
             self._bufs = [b"" for _ in range(self.n)]
             self._mode = "buffer"
 
@@ -315,9 +323,207 @@ def _finalize_commit_first(ctx: SignContext, digs):
     raise NotImplementedError(scheme)
 
 
+def _ph_state(v):
+    """Fresh streaming prehash state for a ph variant."""
+    if v.hash_name == "SHAKE256":
+        from ..hash.sha3 import _Shake256
+        return _Shake256(outlen=64)       # Ed448ph: PH(M)=SHAKE256(M,64)
+    return get_hash("SHA512").new()
+
+
+class EdDSASignContext:
+    """Bounded-memory streaming EdDSA signing (RFC 8032).
+
+    ph variants (ed25519ph / ed448ph) stream in ONE pass — the message
+    only flows through the 64-byte prehash:
+
+        ctx = EdDSASignContext(keys); ctx.update(...); sigs = ctx.finalize()
+
+    Pure variants (ed25519 / ed25519ctx / ed448) derive the nonce from
+    H(dom || prefix || M) and the challenge from H(dom || R || A || M),
+    so two passes over M are unavoidable without buffering. The two-pass
+    protocol keeps memory O(hash state) per lane:
+
+        ctx = EdDSASignContext(keys)
+        ctx.update(chunks) ...        # pass 1 (nonce hash)
+        ctx.second_pass()             # R = rB on device
+        ctx.update(chunks) ...        # pass 2: SAME bytes (challenge hash)
+        sigs = ctx.finalize()
+
+    The caller must stream identical message bytes in both passes (chunk
+    boundaries may differ); a per-lane length mismatch raises. The
+    reference refuses streaming for pure EdDSA (sig_algs_internal.h:455)
+    — this protocol is a capability superset with the same wire output
+    as the one-shot eddsa.sign_batch.
+    """
+
+    def __init__(self, keys, variant: str | None = None,
+                 context: bytes = b""):
+        from . import eddsa
+        self.keys = keys
+        self.v = (eddsa.get_variant(variant) if variant
+                  else keys.variant_family)
+        eddsa.check_context_rules(self.v, context)
+        self._pre = eddsa._dom(self.v, context)
+        self.n = keys.n
+        self._finalized = False
+        self._pass = 1
+        self._counts = [0] * self.n
+        if self.v.phflag:
+            self._states = [_ph_state(self.v) for _ in range(self.n)]
+        else:
+            alg = get_hash(self.v.hash_name)
+            self._states = []
+            for i in range(self.n):
+                st = alg.new()
+                st.update(self._pre + keys._prefix[i])
+                self._states.append(st)
+
+    def update(self, chunks):
+        if self._finalized:
+            raise RuntimeError("context already finalized")
+        if isinstance(chunks, (bytes, bytearray)):
+            chunks = [bytes(chunks)] * self.n
+        if len(chunks) != self.n:
+            raise ValueError("need one chunk per lane")
+        for i, (st, ch) in enumerate(zip(self._states, chunks)):
+            st.update(ch)
+            self._counts[i] += len(ch)
+
+    def second_pass(self):
+        """Pure variants only: finish the nonce hash, compute R = rB on
+        device, and re-seed the challenge hash — then stream the same
+        message again."""
+        if self._finalized or self._pass != 1:
+            raise RuntimeError("second_pass: wrong context state")
+        if self.v.phflag:
+            raise RuntimeError("ph variants stream in one pass")
+        from . import eddsa
+        keys, v, q = self.keys, self.v, self.keys.curve.q
+        rs = [eddsa._le_mod_q(st.digest(), q) for st in self._states]
+        self._r_limbs, self._enc_R = eddsa.r_points(keys, v, rs)
+        alg = get_hash(v.hash_name)
+        self._states = []
+        for i in range(self.n):
+            st = alg.new()
+            st.update(self._pre + self._enc_R[i] + keys.pub_bytes[i])
+            self._states.append(st)
+        self._pass = 2
+        self._pass1_counts, self._counts = self._counts, [0] * self.n
+
+    def finalize(self) -> list[bytes]:
+        if self._finalized:
+            raise RuntimeError("context already finalized")
+        from . import eddsa
+        keys, v, q = self.keys, self.v, self.keys.curve.q
+        self._finalized = True
+        try:
+            if v.phflag:
+                phs = [st.digest() for st in self._states]
+                alg = get_hash(v.hash_name)
+                rs = [eddsa._le_mod_q(d, q) for d in common.batch_digests(
+                    alg, [self._pre + keys._prefix[i] + phs[i]
+                          for i in range(self.n)])]
+                r_limbs, enc_R = eddsa.r_points(keys, v, rs)
+                ks = [eddsa._le_mod_q(d, q) for d in common.batch_digests(
+                    alg, [self._pre + enc_R[i] + keys.pub_bytes[i] + phs[i]
+                          for i in range(self.n)])]
+                return eddsa.assemble_sigs(keys, v, r_limbs, enc_R, ks)
+            if self._pass != 2:
+                raise RuntimeError(
+                    "pure EdDSA is two-pass: call second_pass(), stream "
+                    "the message again, then finalize()")
+            if self._counts != self._pass1_counts:
+                raise ValueError(
+                    "pass-2 message length differs from pass 1")
+            ks = [eddsa._le_mod_q(st.digest(), q) for st in self._states]
+            return eddsa.assemble_sigs(keys, v, self._r_limbs,
+                                       self._enc_R, ks)
+        finally:
+            for attr in ("_states", "_r_limbs", "_enc_R"):
+                if hasattr(self, attr):
+                    setattr(self, attr, None)
+
+
+class EdDSAVerifyContext:
+    """Streaming EdDSA verification — ONE pass, bounded memory, for ALL
+    variants: R and A are parsed from the signature at init, so the
+    challenge hash H(dom || R || A || ...) absorbs its prefix up front
+    and the message streams straight through it (ph variants stream
+    through the prehash instead)."""
+
+    def __init__(self, pub_keys: list[bytes], sigs: list[bytes],
+                 variant: str, context: bytes = b""):
+        from . import eddsa
+        from ..curves import edwards as edw
+        self.v = eddsa.get_variant(variant)
+        eddsa.check_context_rules(self.v, context)
+        self.c = edw.get_edwards_curve(self.v.curve_name)
+        self._pre = eddsa._dom(self.v, context)
+        self.n = len(sigs)
+        self._parsed = eddsa.parse_verify_inputs(self.c, self.v,
+                                                 pub_keys, sigs)
+        self._finalized = False
+        if self.v.phflag:
+            self._states = [_ph_state(self.v) for _ in range(self.n)]
+        else:
+            alg = get_hash(self.v.hash_name)
+            self._states = []
+            for i in range(self.n):
+                st = alg.new()
+                st.update(self._pre + self._parsed["enc_R"][i]
+                          + self._parsed["pubs"][i])
+                self._states.append(st)
+
+    def update(self, chunks):
+        if self._finalized:
+            raise RuntimeError("context already finalized")
+        if isinstance(chunks, (bytes, bytearray)):
+            chunks = [bytes(chunks)] * self.n
+        if len(chunks) != self.n:
+            raise ValueError("need one chunk per lane")
+        for st, ch in zip(self._states, chunks):
+            st.update(ch)
+
+    def finalize(self) -> np.ndarray:
+        if self._finalized:
+            raise RuntimeError("context already finalized")
+        from . import eddsa
+        self._finalized = True
+        try:
+            q = self.c.q
+            if self.v.phflag:
+                phs = [st.digest() for st in self._states]
+                alg = get_hash(self.v.hash_name)
+                k_l = [eddsa._le_mod_q(d, q)
+                       for d in common.batch_digests(
+                           alg, [self._pre + self._parsed["enc_R"][i]
+                                 + self._parsed["pubs"][i] + phs[i]
+                                 for i in range(self.n)])]
+            else:
+                k_l = [eddsa._le_mod_q(st.digest(), q)
+                       for st in self._states]
+            return eddsa.verify_with_challenges(self.c, self._parsed, k_l)
+        finally:
+            self._states = None
+            self._parsed = None
+
+
 class VerifyContext:
-    """Batched streaming verification context. Buffers hash state only
-    (signature parsed at init, like the reference's verify_init)."""
+    """Batched streaming verification context — true IUF for every
+    scheme (reference: ec_verify_init/update/finalize, sig_algs.c:294+).
+    The signature is parsed at init; the message then streams through
+    the scheme's hash state only (O(hash state) memory per lane);
+    finalize completes the digest-level check on device:
+
+      - hash-then-sign (ECDSA/DECDSA/ECGDSA/ECRDSA/BIGN/DBIGN): plain H(m)
+      - prefix-seeded: ECKCDSA (z), SM2 (ZA), ECFSDSA (r from the sig),
+        BIP0340 (H(tag)||H(tag)||Rx||Px) — prefix absorbed at init
+      - commitment-compare (ECSDSA/ECOSDSA): W' = sG - rY is computed at
+        init from the signature, H(W'x [||W'y] || m) streams, finalize
+        compares the digest against r.
+
+    EdDSA streams through EdDSAVerifyContext."""
 
     def __init__(self, keys: KeyBatch, scheme: str, sigs, hash_name="SHA256",
                  adata=None):
@@ -327,30 +533,99 @@ class VerifyContext:
         self.hash_name = hash_name
         self.adata = adata
         self.n = keys.n
-        self._chunks = [b"" for _ in range(self.n)]
         self._finalized = False
+        alg = get_hash(hash_name)
+        curve, q = keys.curve, keys.curve.q
+        seeds = [b""] * self.n
+        if self.scheme == "ECKCDSA":
+            from . import eckcdsa
+            seeds = eckcdsa.z_blocks(keys, alg)
+        elif self.scheme == "SM2":
+            from .sm2 import compute_za, DEFAULT_ID
+            xs, ys, _ = keys.pub_affine_ints()
+            ident = adata if adata is not None else DEFAULT_ID
+            seeds = [compute_za(curve, alg, xs[i], ys[i], ident)
+                     for i in range(self.n)]
+        elif self.scheme == "ECFSDSA":
+            from . import ecfsdsa
+            seeds = [ecfsdsa.r_prefix(curve, sg, q) for sg in self.sigs]
+        elif self.scheme == "BIP0340":
+            from . import bip0340
+            xs, _, _ = keys.pub_affine_ints()
+            seeds = [bip0340.challenge_prefix(curve, alg, self.sigs[i],
+                                              xs[i])
+                     for i in range(self.n)]
+        elif self.scheme in ("ECSDSA", "ECOSDSA"):
+            # commitment recomputed from the signature at init:
+            # W' = sG + (-r mod q)Y
+            from .ecsdsa import _commit_buf
+            optimized = self.scheme == "ECOSDSA"
+            hsize, nb = alg.digest_size, (q.bit_length() + 7) // 8
+            us, vs, pre_ok, r_bufs = [], [], [], []
+            for sg in self.sigs:
+                ok = len(sg) == hsize + nb
+                r = sg[:hsize] if ok else b"\x00" * hsize
+                s = int.from_bytes(sg[hsize:], "big") if ok else 0
+                ok = ok and 0 < s < q and int.from_bytes(r, "big") % q != 0
+                us.append(s)
+                vs.append((-(int.from_bytes(r, "big") % q)) % q)
+                r_bufs.append(r)
+                pre_ok.append(ok)
+            u = wcore.scalars_dev(curve.q_ctx, us)
+            v = wcore.scalars_dev(curve.q_ctx, vs)
+            wx, wy, inf = wcore.straus_affine(curve, u, v, keys.pub)
+            wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
+            self._r_bufs = r_bufs
+            self._pre_ok = pre_ok
+            self._inf = np.asarray(inf)
+            seeds = [_commit_buf(curve, wx_i[i], wy_i[i], b"", optimized)
+                     for i in range(self.n)]
+        self._states = []
+        for sd in seeds:
+            st = alg.new()
+            st.update(sd)
+            self._states.append(st)
 
     def update(self, chunks):
         if self._finalized:
             raise RuntimeError("context already finalized")
         if isinstance(chunks, (bytes, bytearray)):
             chunks = [bytes(chunks)] * self.n
-        for i, ch in enumerate(chunks):
-            self._chunks[i] += ch
+        if len(chunks) != self.n:
+            raise ValueError("need one chunk per lane")
+        for st, ch in zip(self._states, chunks):
+            st.update(ch)
+
+    _DIGEST_VERIFY = {
+        "ECDSA": "ecdsa", "DECDSA": "ecdsa", "ECGDSA": "ecgdsa",
+        "ECRDSA": "ecrdsa", "BIGN": "bign", "DBIGN": "bign",
+        "ECKCDSA": "eckcdsa", "SM2": "sm2", "ECFSDSA": "ecfsdsa",
+        "BIP0340": "bip0340",
+    }
 
     def finalize(self):
-        """-> accept mask. Delegates to the scheme's batch verifier (the
-        streaming split is exercised on the sign side; verification
-        recomputes over the accumulated message). Invalidates the
-        context, matching the sign side."""
+        """-> accept mask. Completes the scheme's digest-level check on
+        device. Invalidates the context, matching the sign side."""
         if self._finalized:
             raise RuntimeError("context already finalized")
         self._finalized = True
-        from .. import cli
-        _, verify, _, _ = cli._scheme_mod(self.scheme)
-        kw = {"adata": self.adata} if self.adata is not None else {}
         try:
-            return verify(self.keys, self._chunks, self.sigs,
-                          self.hash_name, **kw)
+            digs = [st.digest() for st in self._states]
+            if self.scheme in ("ECSDSA", "ECOSDSA"):
+                out = [self._pre_ok[i] and not self._inf[i]
+                       and digs[i] == self._r_bufs[i]
+                       for i in range(self.n)]
+                return np.array(out)
+            mod_name = self._DIGEST_VERIFY.get(self.scheme)
+            if mod_name is None:
+                raise NotImplementedError(self.scheme)
+            import importlib
+            mod = importlib.import_module(f".{mod_name}", __package__)
+            kw = {"adata": self.adata} if self.adata is not None else {}
+            return mod.verify_digests_batch(self.keys, digs, self.sigs,
+                                            self.hash_name, **kw)
         finally:
-            self._chunks = None
+            self._states = None
+            for attr in ("_r_bufs", "_pre_ok", "_inf"):
+                if hasattr(self, attr):
+                    setattr(self, attr, None)

@@ -64,6 +64,87 @@ def test_streaming_matches_oneshot(scheme, hash_name):
     assert acc.all()
 
 
+@pytest.mark.parametrize("variant", ["ed25519", "ed25519ph"])
+def test_eddsa_streaming_matches_oneshot(variant):
+    """Bounded-memory EdDSA streaming: two-pass protocol for pure
+    variants, one-pass (through the prehash) for ph — byte-identical to
+    the one-shot sign_batch; EdDSAVerifyContext streams verification in
+    one pass for both."""
+    from libecc_tpu.sig import eddsa
+    from libecc_tpu.sig.streaming import (EdDSASignContext,
+                                          EdDSAVerifyContext)
+    seeds = [bytes([i * 37 + 1]) * 32 for i in range(N)]
+    kb = eddsa.EdDSAKeyBatch(variant, seeds)
+    ref_sigs = eddsa.sign_batch(kb, MSGS, variant)
+
+    ctx = EdDSASignContext(kb, variant)
+    ctx.update([m[:5] for m in MSGS])
+    ctx.update([m[5:] for m in MSGS])
+    if not ctx.v.phflag:
+        with pytest.raises(RuntimeError):
+            ctx.finalize()          # pure EdDSA: second pass required
+        ctx = EdDSASignContext(kb, variant)
+        ctx.update([m[:5] for m in MSGS])
+        ctx.update([m[5:] for m in MSGS])
+        ctx.second_pass()
+        # pass 2 streams the same bytes at different chunk boundaries
+        ctx.update([m[:11] for m in MSGS])
+        ctx.update([m[11:] for m in MSGS])
+    sigs = ctx.finalize()
+    assert sigs == ref_sigs
+    with pytest.raises(RuntimeError):
+        ctx.finalize()
+
+    vctx = EdDSAVerifyContext(kb.pub_bytes, sigs, variant)
+    vctx.update([m[:3] for m in MSGS])
+    vctx.update([m[3:] for m in MSGS])
+    assert np.asarray(vctx.finalize()).all()
+
+    # tampered lane rejected through the streaming verifier
+    bad = list(sigs)
+    bad[0] = bytes([bad[0][0] ^ 1]) + bad[0][1:]
+    vctx = EdDSAVerifyContext(kb.pub_bytes, bad, variant)
+    vctx.update(MSGS)
+    acc = np.asarray(vctx.finalize())
+    assert not acc[0] and acc[1:].all()
+
+
+def test_eddsa_two_pass_length_mismatch():
+    from libecc_tpu.sig import eddsa
+    from libecc_tpu.sig.streaming import EdDSASignContext
+    seeds = [bytes([i + 9]) * 32 for i in range(N)]
+    kb = eddsa.EdDSAKeyBatch("ed25519", seeds)
+    ctx = EdDSASignContext(kb, "ed25519")
+    ctx.update(MSGS)
+    ctx.second_pass()
+    ctx.update([m[:4] for m in MSGS])   # shorter second pass
+    with pytest.raises(ValueError):
+        ctx.finalize()
+    # generic SignContext refuses EdDSA and points at the right API
+    with pytest.raises(TypeError):
+        SignContext(kb, "EDDSA25519")
+
+
+def test_bip0340_streaming_verify():
+    """BIP0340 verification streams: the tagged-hash prefix
+    H(tag)||H(tag)||Rx||Px is absorbed at init, the message streams."""
+    from libecc_tpu.sig import bip0340
+    c = params.get_curve("SECP256K1")
+    kb = K.keygen(c, "BIP0340", N, priv_ints=PRIVS,
+                  init_pub=cli._scheme_mod("BIP0340")[2])
+    sigs, ok = bip0340.sign_batch(kb, MSGS, "SHA256",
+                                  aux=[b"\x07" * 32] * N)
+    assert np.asarray(ok).all()
+    vctx = VerifyContext(kb, "BIP0340", sigs, "SHA256")
+    vctx.update([m[:9] for m in MSGS])
+    vctx.update([m[9:] for m in MSGS])
+    assert np.asarray(vctx.finalize()).all()
+    # wrong message rejected
+    vctx = VerifyContext(kb, "BIP0340", sigs, "SHA256")
+    vctx.update([b"x" + m[1:] for m in MSGS])
+    assert not np.asarray(vctx.finalize()).any()
+
+
 def test_context_invalidated_after_finalize():
     _, kb = _keys("ECDSA")
     ctx = SignContext(kb, "ECDSA", "SHA256", nonces=NONCES)
