@@ -199,7 +199,49 @@ def run_rand(args=(), n=4, seed=0xEC) -> bool:
         good &= not bool(np.asarray(verify(kb, msgs, bad, hname)).any())
         print(f"[rand] {alg}/{cname}/{hname}: {'OK' if good else 'FAIL'}")
         ok_all &= good
+    if not flt["sign"] or flt["sign"] == "EDDSA25519":
+        ok_all &= _rand_eddsa(rng, n)
     return ok_all
+
+
+def _rand_eddsa(rng, n) -> bool:
+    """EdDSA random-split round-trip through the bounded-memory streaming
+    contexts: two-pass sign (pure ed25519) must match the one-shot path;
+    one-pass streaming verify must accept and reject corruption."""
+    from .sig import eddsa
+    from .sig.streaming import EdDSASignContext, EdDSAVerifyContext
+    seeds = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(n)]
+    kb = eddsa.EdDSAKeyBatch("ed25519", seeds)
+    msgs = [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 300)))
+            for _ in range(n)]
+    ref = eddsa.sign_batch(kb, msgs, "ed25519")
+
+    def stream(ctx):
+        pos = [0] * n
+        while any(p < len(m) for p, m in zip(pos, msgs)):
+            chunks = []
+            for i in range(n):
+                step = rng.randrange(1, 64)
+                chunks.append(msgs[i][pos[i]: pos[i] + step])
+                pos[i] = min(len(msgs[i]), pos[i] + step)
+            ctx.update(chunks)
+
+    ctx = EdDSASignContext(kb, "ed25519")
+    stream(ctx)
+    ctx.second_pass()
+    stream(ctx)
+    sigs = ctx.finalize()
+    good = sigs == ref
+    vctx = EdDSAVerifyContext(kb.pub_bytes, sigs, "ed25519")
+    stream(vctx)
+    good &= bool(np.asarray(vctx.finalize()).all())
+    bad = [bytes([s[0] ^ 1]) + s[1:] for s in sigs]
+    vctx = EdDSAVerifyContext(kb.pub_bytes, bad, "ed25519")
+    stream(vctx)
+    good &= not bool(np.asarray(vctx.finalize()).any())
+    print(f"[rand] EDDSA25519 streaming two-pass: "
+          f"{'OK' if good else 'FAIL'}")
+    return good
 
 
 def run_perf(args=(), batch=1024, iters=3):
