@@ -109,6 +109,12 @@ DIGEST_INFO = {
     "SHA256": bytes.fromhex("3031300d060960864801650304020105000420"),
     "SHA384": bytes.fromhex("3041300d060960864801650304020205000430"),
     "SHA512": bytes.fromhex("3051300d060960864801650304020305000440"),
+    # legacy digests (RFC 8017 A.2.4 / RFC 2313) — the X.509-compat story
+    # the reference keeps examples/hash/ around for (examples/hash/hash.c)
+    "MD2": bytes.fromhex("3020300c06082a864886f70d020205000410"),
+    "MD4": bytes.fromhex("3020300c06082a864886f70d020405000410"),
+    "MD5": bytes.fromhex("3020300c06082a864886f70d020505000410"),
+    "SHA1": bytes.fromhex("3021300906052b0e03021a05000414"),
 }
 
 

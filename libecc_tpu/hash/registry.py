@@ -69,6 +69,13 @@ def _register_builtin():
             register(alg)
     except ImportError:
         pass
+    # examples-tier legacy digests (MD2/MD4/MD5/SHA-0/SHA-1/MDC2/GOST94):
+    # registered like the reference's extended hash enum for RSA/X.509
+    # compatibility (src/examples/hash/hash.c HASH_MD5 etc.)
+    try:
+        from ..extras import legacy_hash  # noqa: F401  (self-registers)
+    except ImportError:
+        pass
 
 
 _register_builtin()
