@@ -245,17 +245,17 @@ def bench_e2e_verify(jax, jnp, n, iters):
           "verifies/sec/chip", 355.0)
 
 
-def _safe(fn, *args):
+def _safe(fn, *args, **kwargs):
     """Run one bench; if it fails (e.g. a Mosaic compile surprise in the
     whole-scalar-mult mega-kernel on a new hardware generation), disable
     the mega-kernel dispatch and retry once on the proven scan path."""
     import traceback
     try:
-        fn(*args)
+        fn(*args, **kwargs)
     except Exception:
         traceback.print_exc()
         os.environ["LIBECC_TPU_MEGAMUL"] = "0"
-        fn(*args)
+        fn(*args, **kwargs)
 
 
 def main():
