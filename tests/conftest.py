@@ -10,6 +10,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A remote-TPU plugin (axon) may have been registered by a sitecustomize
+# hook that sets jax.config.jax_platforms = "axon,cpu" DIRECTLY, which
+# beats the env var above — leaving the default backend on the remote
+# chip and silently routing every test dispatch through the TPU tunnel
+# (minutes -> hours). Force the config itself back to cpu-only before
+# any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compile cache: the suite's cost is dominated by CPU jit
 # compiles of per-curve ladder/Straus kernels; libecc_tpu.__init__ enables
 # the cache via jax.config.update (the JAX_COMPILATION_CACHE_DIR env var
