@@ -179,6 +179,49 @@ def weak_scaling(device_counts=(1, 2, 4, 8), lanes_per_device=256,
                        "rate": round(rate, 1),
                        "per_device_rate": round(rate / nd, 1),
                        "efficiency": round(eff, 4)})
-    return {"points": points,
-            "efficiency_at_max": points[-1]["efficiency"] if points
-            else 0.0}
+    out = {"points": points,
+           "efficiency_at_max": points[-1]["efficiency"] if points
+           else 0.0}
+    if points:
+        nd_max = points[-1]["n_devices"]
+        shared = _devices_share_host(meshlib.make_mesh(nd_max))
+        out["virtual_devices"] = shared
+        if shared:
+            # All "devices" are host-CPU threads of one process: the classic
+            # weak-scaling formula rate(N)/(N*rate(1)) has no hardware
+            # meaning (N virtual devices share the host's cores — at these
+            # sizes the number mostly tracks dispatch-overhead
+            # amortization). What CAN be measured without real chips is the
+            # cost sharding itself adds: run the SAME total work on a
+            # 1-device mesh and on the N-device mesh and compare.
+            # efficiency = rate(N dev, W lanes) / rate(1 dev, W lanes);
+            # the gap is partitioning + collective overhead only.
+            out["sharding_overhead"] = sharding_overhead(
+                nd_max, total_lanes=max(points[-1]["lanes"], 1024),
+                iters=iters, pipeline=pipeline)
+    return out
+
+
+def sharding_overhead(n_devices: int, total_lanes: int = 2048,
+                      iters: int = 4, pipeline: str = "mulmod") -> dict:
+    """Fixed-total-work sharding-overhead measurement: the same batch run
+    on a 1-device mesh vs sharded over `n_devices`. On a single host this
+    isolates the overhead the partitioner + collectives add (the only
+    scaling quantity measurable without real chips); on real hardware the
+    sharded rate should instead be ~n_devices x higher (see
+    weak_scaling for the classic formula)."""
+    from . import mesh as meshlib
+    rate_fn = _verify_rate if pipeline == "verify" else _mulmod_rate
+    total_lanes = ((total_lanes + n_devices - 1) // n_devices) * n_devices
+    r1 = rate_fn(meshlib.make_mesh(1), total_lanes, iters)
+    rn = rate_fn(meshlib.make_mesh(n_devices), total_lanes, iters)
+    return {"n_devices": n_devices, "lanes": total_lanes,
+            "rate_1dev": round(r1, 1), "rate_sharded": round(rn, 1),
+            "efficiency": round(rn / r1, 4)}
+
+
+def _devices_share_host(mesh) -> bool:
+    """True when every device of `mesh` lives in this one process (the
+    virtual-CPU-device CI configuration)."""
+    devs = list(mesh.devices.flat)
+    return all(d.platform == "cpu" and d.process_index == 0 for d in devs)

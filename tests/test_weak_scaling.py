@@ -25,6 +25,22 @@ def test_weak_scaling_sweep_runs():
         assert pt["lanes"] == pt["n_devices"] * 32
     assert sweep["points"][0]["efficiency"] == 1.0
     assert sweep["efficiency_at_max"] > 0
+    # virtual CPU devices: the sweep must recognize them and report the
+    # fixed-work sharding-overhead efficiency (the measurable quantity)
+    assert sweep["virtual_devices"] is True
+    so = sweep["sharding_overhead"]
+    assert so["n_devices"] == 4
+    assert so["lanes"] % 4 == 0
+    assert so["rate_1dev"] > 0 and so["rate_sharded"] > 0
+
+
+def test_sharding_overhead_efficiency_floor():
+    """Partitioner + collective overhead at fixed total work must be small:
+    the sharded program does the same arithmetic, so anything below 0.5
+    on a single host means the mesh path is broken, not just slow."""
+    so = dist.sharding_overhead(8, total_lanes=2048, iters=2,
+                                pipeline="mulmod")
+    assert so["efficiency"] > 0.5, so
 
 
 def test_2d_mesh_rate():
