@@ -10,6 +10,10 @@ Environment variables:
                           Pallas mega-kernel (ops/pallas/megamul.py);
                           default follows LIBECC_TPU_PALLAS
   LIBECC_TPU_NO_NATIVE=1  disable the native C++ host runtime
+  LIBECC_TPU_ECRDSA_ISO14888=1  default EC-RDSA digest convention to the
+                          ISO 14888-3 big-endian import (the reference's
+                          USE_ISO14888_3_ECRDSA build mode,
+                          common.mk:262-265); per-call kwarg overrides
 """
 
 from __future__ import annotations

@@ -189,16 +189,22 @@ def weak_scaling(device_counts=(1, 2, 4, 8), lanes_per_device=256,
         if shared:
             # All "devices" are host-CPU threads of one process: the classic
             # weak-scaling formula rate(N)/(N*rate(1)) has no hardware
-            # meaning (N virtual devices share the host's cores — at these
-            # sizes the number mostly tracks dispatch-overhead
-            # amortization). What CAN be measured without real chips is the
-            # cost sharding itself adds: run the SAME total work on a
-            # 1-device mesh and on the N-device mesh and compare.
+            # meaning — N virtual devices share the host's cores, so on a
+            # small host the formula just measures core count (on a 1-core
+            # VM it pins at ~1/N regardless of how good the sharding is).
+            # What CAN be measured without real chips is the cost sharding
+            # itself adds: run the SAME total work on a 1-device mesh and
+            # on the N-device mesh and compare.
             # efficiency = rate(N dev, W lanes) / rate(1 dev, W lanes);
-            # the gap is partitioning + collective overhead only.
+            # the gap is partitioning + collective overhead only. Report
+            # THAT as efficiency_at_max (the classic per-point numbers stay
+            # in "points" for reference).
             out["sharding_overhead"] = sharding_overhead(
                 nd_max, total_lanes=max(points[-1]["lanes"], 1024),
                 iters=iters, pipeline=pipeline)
+            out["classic_efficiency_at_max"] = out["efficiency_at_max"]
+            out["efficiency_at_max"] = \
+                out["sharding_overhead"]["efficiency"]
     return out
 
 

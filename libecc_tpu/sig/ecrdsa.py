@@ -1,15 +1,23 @@
 """EC-RDSA (Russian GOST R 34.10-2012) — batched TPU implementation.
 
 Reference: src/sig/ecrdsa.c (default non-ISO14888-3 mode: the digest is
-byte-reversed before integer import, ecrdsa.c:307). Public key Y = xG.
+byte-reversed before integer import, ecrdsa.c:307; the ISO 14888-3 mode —
+the reference's USE_ISO14888_3_ECRDSA compile toggle, common.mk:262-265 —
+imports the digest big-endian as printed). Public key Y = xG.
 
 Sign:   e = LE2I(H(m)) mod q ; if e == 0 then e = 1 ;
         W = kG ; r = W.x mod q ; s = (r*x + k*e) mod q ; sig = r || s
 Verify: e as above ; h_inv = e^-1 ; u = h_inv*s ; v = -(h_inv*r) ;
         W' = uG + vY ; accept iff W'.x mod q == r
+
+The mode is a per-call kwarg (iso14888) defaulting to the runtime switch
+LIBECC_TPU_ECRDSA_ISO14888 (config.py) — both build variants of the
+reference are one framework here.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -25,20 +33,27 @@ def siglen(curve: ShortWCurve, hash_name=None) -> int:
     return 2 * ((curve.q.bit_length() + 7) // 8)
 
 
-def _e_of_digest(dg: bytes, q: int) -> int:
-    e = int.from_bytes(dg, "little") % q
+def _iso_default() -> bool:
+    return os.environ.get("LIBECC_TPU_ECRDSA_ISO14888", "0") not in (
+        "0", "false", "")
+
+
+def _e_of_digest(dg: bytes, q: int, iso14888=None) -> int:
+    if iso14888 is None:
+        iso14888 = _iso_default()
+    e = int.from_bytes(dg, "big" if iso14888 else "little") % q
     return e if e != 0 else 1
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="STREEBOG256", nonces=None,
-               adata=None):
+               adata=None, iso14888=None):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
     k_dev, _ = wcore.nonces_for(curve, n, nonces)
     wx, _, inf = wcore.kg_affine(curve, k_dev)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
-    e = wcore.scalars_dev(q_ctx, [_e_of_digest(d, q) for d in
+    e = wcore.scalars_dev(q_ctx, [_e_of_digest(d, q, iso14888) for d in
                                   common.batch_digests(alg, msgs)])
     # s = r*x + k*e mod q (device)
     rx = common.q_mul(r, keys.priv, q_ctx)
@@ -53,14 +68,15 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="STREEBOG256", nonces=None,
 
 
 def verify_batch(keys: KeyBatch, msgs, sigs, hash_name="STREEBOG256",
-                 adata=None):
+                 adata=None, iso14888=None):
     alg = get_hash(hash_name)
     return verify_digests_batch(keys, common.batch_digests(alg, msgs),
-                                sigs, hash_name)
+                                sigs, hash_name, iso14888=iso14888)
 
 
 def verify_digests_batch(keys: KeyBatch, digs, sigs,
-                         hash_name="STREEBOG256", adata=None):
+                         hash_name="STREEBOG256", adata=None,
+                         iso14888=None):
     """Digest-level verify (streaming finalize path)."""
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     nb = (q.bit_length() + 7) // 8
@@ -70,7 +86,7 @@ def verify_digests_batch(keys: KeyBatch, digs, sigs,
         r = int.from_bytes(sg[:nb], "big") if ok else 0
         s = int.from_bytes(sg[nb:], "big") if ok else 0
         ok = ok and 0 < r < q and 0 < s < q
-        e = _e_of_digest(dg, q)
+        e = _e_of_digest(dg, q, iso14888)
         einv = pow(e, -1, q)
         us.append(einv * s % q)
         vs.append((-(einv * r)) % q)

@@ -122,6 +122,12 @@ static int dump_sig_case(const ec_test_case *c)
 	printf("{");
 	jstr("name", c->name, 1);
 	jstr("alg", sm->name, 1);
+#ifdef USE_ISO14888_3_ECRDSA
+	/* the ISO 14888-3 big-endian digest convention changes ECRDSA's
+	 * signature bytes — tag these cases so the runner selects the mode */
+	if (c->sig_type == ECRDSA)
+		printf("\"iso14888\": true, ");
+#endif
 	jstr("hash", hm->name, 1);
 	jstr("curve", (const char *)c->ec_str_p->name->buf, 1);
 	printf("\"priv\": \"");
@@ -201,16 +207,25 @@ int main(int argc, char *argv[])
 
 	if (!ecdh_only) {
 		for (i = 0; i < EC_FIXED_VECTOR_NUM_TESTS; i++) {
-			if (dump_sig_case(ec_fixed_vector_tests[i]) != 0)
+			const ec_test_case *c = ec_fixed_vector_tests[i];
+#ifdef DUMP_ONLY_ECRDSA
+			/* iso-variant binary: every non-ECRDSA case is identical
+			 * to the default build's dump — emit only what differs */
+			if (c == NULL || c->sig_type != ECRDSA)
+				continue;
+#endif
+			if (dump_sig_case(c) != 0)
 				bad++;
 		}
 	}
+#ifndef DUMP_ONLY_ECRDSA
 	if (!sig_only) {
 		for (i = 0; i < ECDH_FIXED_VECTOR_NUM_TESTS; i++) {
 			if (dump_ecdh_case(ecdh_fixed_vector_tests[i]) != 0)
 				bad++;
 		}
 	}
+#endif
 	if (bad) {
 		fprintf(stderr, "%d cases failed reference cross-check\n", bad);
 		return 1;

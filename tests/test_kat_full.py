@@ -64,6 +64,13 @@ SCHEMES = {
     "ECRDSA": (lambda kb, m, h, k, a: ecrdsa.sign_batch(kb, m, h, nonces=k),
                lambda kb, m, s, h, a: ecrdsa.verify_batch(kb, m, s, h),
                None),
+    # the reference's USE_ISO14888_3_ECRDSA build variant (big-endian
+    # digest import) — dumped by scripts/oracle/kat_dump_iso
+    "ECRDSA_ISO14888": (
+        lambda kb, m, h, k, a: ecrdsa.sign_batch(kb, m, h, nonces=k,
+                                                 iso14888=True),
+        lambda kb, m, s, h, a: ecrdsa.verify_batch(kb, m, s, h,
+                                                   iso14888=True), None),
     "SM2": (lambda kb, m, h, k, a: sm2.sign_batch(kb, m, h, nonces=k,
                                                   adata=a),
             lambda kb, m, s, h, a: sm2.verify_batch(kb, m, s, h, adata=a),
@@ -90,7 +97,9 @@ def _load():
         for line in f:
             r = json.loads(line)
             if "alg" in r:
-                key = (r["alg"], r["curve"], r["hash"], r["adata_hex"])
+                alg = r["alg"] + ("_ISO14888" if r.get("iso14888") else "")
+                r["alg"] = alg
+                key = (alg, r["curve"], r["hash"], r["adata_hex"])
                 sig_groups.setdefault(key, []).append(r)
             else:
                 ecdh_groups.setdefault((r["ecdh"], r["curve"]),

@@ -32,6 +32,10 @@ def test_weak_scaling_sweep_runs():
     assert so["n_devices"] == 4
     assert so["lanes"] % 4 == 0
     assert so["rate_1dev"] > 0 and so["rate_sharded"] > 0
+    # on shared-host meshes the headline efficiency IS the fixed-work
+    # sharding overhead (the classic formula only measures core count)
+    assert sweep["efficiency_at_max"] == so["efficiency"]
+    assert "classic_efficiency_at_max" in sweep
 
 
 def test_sharding_overhead_efficiency_floor():
