@@ -238,6 +238,51 @@ def cmd_self_tests(argv):
     return self_tests.main(argv)
 
 
+def cmd_import_curve(argv):
+    """Register a user curve from an RFC3279 DER/PEM ECParameters file
+    (the expand_libecc.py --ECfile flow, run at runtime instead of
+    codegen) and print its parameters."""
+    if len(argv) not in (1, 2):
+        raise SystemExit("usage: import_curve <params.der|.pem> [name]")
+    from .curves import asn1
+    name = asn1.load_curve_file(_read(argv[0]),
+                                name=argv[1] if len(argv) == 2 else None)
+    c = params.get_curve(name)
+    print(f"registered curve {name}: p={c.fp_ctx.p_int:#x} q={c.q:#x} "
+          f"h={c.h}")
+    return 0
+
+
+def cmd_export_curve(argv):
+    if len(argv) != 2:
+        raise SystemExit("usage: export_curve <curve> <out.pem>")
+    from .curves import asn1
+    _write(argv[1], asn1.export_ec_parameters(argv[0], pem=True))
+    print(f"wrote explicit ECParameters PEM for {argv[0]} to {argv[1]}")
+    return 0
+
+
+def cmd_arith_stream(argv):
+    """Generate or run an opcode differential stream (the reference's
+    arithmetic_tests harness, SURVEY §4.2)."""
+    if len(argv) < 1 or argv[0] not in ("gen", "run"):
+        raise SystemExit("usage: arith_stream gen <n> [seed] | "
+                         "arith_stream run <file>")
+    from . import arith_stream as ast
+    if argv[0] == "gen":
+        n = int(argv[1]) if len(argv) > 1 else 8
+        seed = int(argv[2], 0) if len(argv) > 2 else 0xA17
+        print("\n".join(ast.generate(n, seed)))
+        return 0
+    lines = _read(argv[1]).decode().splitlines()
+    res = ast.run_stream(lines)
+    nf = len(res["failures"])
+    print(f"{res['total'] - nf}/{res['total']} ops OK")
+    for ln, got in res["failures"][:20]:
+        print(f"  FAIL {ln}\n    got {got}")
+    return 1 if nf else 0
+
+
 COMMANDS = {
     "gen_keys": cmd_gen_keys,
     "sign": cmd_sign,
@@ -246,6 +291,9 @@ COMMANDS = {
     "struct_verify": cmd_struct_verify,
     "scalar_mult": cmd_scalar_mult,
     "self_tests": cmd_self_tests,
+    "import_curve": cmd_import_curve,
+    "export_curve": cmd_export_curve,
+    "arith_stream": cmd_arith_stream,
 }
 
 

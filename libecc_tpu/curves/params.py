@@ -74,6 +74,23 @@ def list_curves():
     return sorted(d["name"] for d in _CURVES.values())
 
 
+def raw_params(name: str) -> dict:
+    """Raw integer parameter dict for a registered curve (used by the
+    ASN.1 export path and introspection)."""
+    key = _ALIASES.get(_canon(name), _canon(name))
+    if key not in _CURVES:
+        raise KeyError(f"unknown curve {name!r}")
+    return dict(_CURVES[key])
+
+
+def find_by_oid(oid: str) -> str | None:
+    """Resolve an RFC3279 named-curve OID to a registered curve name."""
+    for d in _CURVES.values():
+        if d.get("oid") == oid:
+            return d["name"]
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Built-in curves: the reference's full known-curve inventory
 # (src/curves/known/ — 45 parameter sets), extracted to curves_data.py by

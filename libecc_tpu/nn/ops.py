@@ -332,3 +332,54 @@ def modinv_2exp(a, exp_bits: int):
 def modinv_word(a_word, m_word):
     """Scalar convenience (nn_modinv_word): host ints."""
     return pow(int(a_word), -1, int(m_word))
+
+
+def xgcd(a, b, nbits: int | None = None):
+    """Batched extended GCD (nn_xgcd, src/nn/nn_div.c:1179).
+
+    Returns (g, u, v, sign_pos, ok): per lane
+        u*a - v*b == g   where sign_pos
+        v*b - u*a == g   otherwise
+    with u, v >= 0 (the reference reports the sign out-of-band the same
+    way). ok is False on a == 0 or b == 0 lanes.
+
+    Strategy (composes the existing fixed-bound batched kernels instead of
+    a signed-bignum binary xgcd): g = gcd(a,b); of the coprime reductions
+    a/g, b/g at least one is odd — invert the other modulo it (modinv),
+    then recover the second Bezout coefficient by exact division.
+    """
+    k = max(a.shape[0], b.shape[0])
+
+    def widen(x, kw):
+        if x.shape[0] < kw:
+            return jnp.concatenate(
+                [x, jnp.zeros((kw - x.shape[0],) + x.shape[1:], U32)], 0)
+        return x
+
+    a, b = widen(a, k), widen(b, k)
+    g = gcd(a, b, nbits)
+    ap, _ = divrem(a, g)
+    bp, _ = divrem(b, g)
+    bp_odd = (bp[0] & 1) == 1
+    m1 = nn.cnd_select(bp_odd, bp, ap)      # odd modulus (coprime pair)
+    x1 = nn.cnd_select(bp_odd, ap, bp)
+    x1 = mod(x1, m1)
+    # m1 == 1 lanes: inverse is vacuous, coefficient 1 works (m1 | other)
+    one = _const_like(1, k, a)
+    m1_is_1 = nn.eq_mask(m1, one)
+    inv, inv_ok = modinv(nn.cnd_select(m1_is_1, one, x1),
+                         nn.cnd_select(m1_is_1, _const_like(3, k, a), m1),
+                         nbits)
+    c = nn.cnd_select(m1_is_1, one, inv)
+    # t = c * (a if bp_odd else b);  other_coef = (t - g) / (b if bp_odd
+    # else a), exact by construction
+    t = nn.mul(c, nn.cnd_select(bp_odd, a, b))          # 2k limbs
+    k2 = t.shape[0]
+    tg, _ = nn.sub(t, widen(g, k2))
+    qq, rr = divrem(tg, widen(nn.cnd_select(bp_odd, b, a), k2))
+    c_w = widen(c, k2)
+    u = nn.cnd_select(bp_odd, c_w, qq)
+    v = nn.cnd_select(bp_odd, qq, c_w)
+    ok = (~nn.is_zero_mask(a)) & (~nn.is_zero_mask(b)) \
+        & nn.is_zero_mask(rr) & (inv_ok | m1_is_1)
+    return g, u, v, bp_odd, ok

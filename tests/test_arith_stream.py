@@ -1,0 +1,20 @@
+"""Opcode-stream differential arithmetic tests (SURVEY §4.2 parity:
+arithmetic_tests_generator.py -> stream -> arithmetic_tests.c, replayed
+here as generate() -> run_stream() over the batched kernels)."""
+
+from libecc_tpu import arith_stream
+
+
+def test_stream_roundtrip_text():
+    lines = arith_stream.generate(n_per_op=2, seed=1)
+    # the stream is plain ASCII and survives a serialize/parse round trip
+    blob = "\n".join(lines).encode()
+    res = arith_stream.run_stream(blob.decode().splitlines())
+    assert res["failures"] == [], res["failures"][:5]
+    assert res["total"] > 60
+
+
+def test_stream_differential_batch():
+    lines = arith_stream.generate(n_per_op=6, seed=0xECC)
+    res = arith_stream.run_stream(lines)
+    assert res["failures"] == [], res["failures"][:5]
