@@ -58,7 +58,7 @@ def generate(n_per_op: int = 8, seed: int = 0xA17) -> list[str]:
            f"limb_bits={LIMB_BITS}"]
     W = _W
     mask = (1 << W) - 1
-    for _ in range(n_per_op):
+    for idx in range(n_per_op):
         a, b = _rnd(rng, W), _rnd(rng, W)
         n = rng.choice([1, 13, 15, 64])
         out.append(f"NN_SHIFT_LEFT {W} {n} {_h(a)} = {_h((a << n) & mask)}")
@@ -100,7 +100,9 @@ def generate(n_per_op: int = 8, seed: int = 0xA17) -> list[str]:
             mw = rng.getrandbits(15) | 1
         out.append(f"NN_MODINV_WORD {_h(aw)} {_h(mw)} = "
                    f"{_h(pow(aw, -1, mw))}")
-        for p in _PRIMES:
+        # alternate the two primes (special-form vs generic) across ops so
+        # both field shapes are covered without doubling kernel compiles
+        for p in (_PRIMES[idx % 2],):
             k = nn.num_limbs(p.bit_length())
             R = 1 << (k * LIMB_BITS)
             ap, bp = a % p, b % p
@@ -169,12 +171,25 @@ def min_sqrt(sq: int, p: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_LANE_PAD = 8     # pad group batches to a multiple of this so kernel
+                  # shapes are stable across seeds/runs (compile reuse)
+
+
 def _pack(vals, k):
-    return jnp.asarray(nn.batch_to_limbs(vals, k))
+    vals = list(vals)
+    pad = (-len(vals)) % _LANE_PAD
+    return jnp.asarray(nn.batch_to_limbs(vals + [vals[0]] * pad, k))
 
 
 def _ints(arr):
     return nn.batch_from_limbs(np.asarray(arr))
+
+
+def _fpack(ctx, vals):
+    """Montgomery-domain field pack with lane padding (see _pack)."""
+    vals = list(vals)
+    pad = (-len(vals)) % _LANE_PAD
+    return ctx.from_ints(vals + [vals[0]] * pad)
 
 
 def run_stream(lines, fail_fast: bool = False):
@@ -257,17 +272,17 @@ def run_stream(lines, fail_fast: bool = False):
                     b = _pack(ins[1], ctx.k)
                     got = [ctx.to_ints(fp.mul(a, b, ctx), from_mont=False)]
                 else:
-                    a = ctx.from_ints(ins[0])
+                    a = _fpack(ctx, ins[0])
                     if op == "FP_ADD":
-                        r = fp.add(a, ctx.from_ints(ins[1]), ctx)
+                        r = fp.add(a, _fpack(ctx, ins[1]), ctx)
                     elif op == "FP_SUB":
-                        r = fp.sub(a, ctx.from_ints(ins[1]), ctx)
+                        r = fp.sub(a, _fpack(ctx, ins[1]), ctx)
                     elif op == "FP_MUL":
-                        r = fp.mul(a, ctx.from_ints(ins[1]), ctx)
+                        r = fp.mul(a, _fpack(ctx, ins[1]), ctx)
                     elif op == "FP_POW":
                         e = _pack(ins[1], ctx.k)
                         r = nn.to_mont(
-                            nn.mod_pow(ctx.from_ints(ins[0], to_mont=False),
+                            nn.mod_pow(_pack(ins[0], ctx.k),
                                        e, ctx, nbits=64), ctx)
                     elif op == "FP_LEGENDRE":
                         leg = fp.legendre_qr_mask(a, ctx)
@@ -287,9 +302,11 @@ def run_stream(lines, fail_fast: bool = False):
             check(lanes, got)
             continue
 
-        # pure NN ops
+        # pure NN ops: pin the limb width to the stream's nominal operand
+        # width (not the per-group max) so kernel shapes are stable
         maxbits = max((max(v.bit_length() for v in col) if col else 1)
                       for col in ins) or 1
+        maxbits = max(maxbits, _W)
         if op in ("NN_SHIFT_LEFT", "NN_ROTATE_LEFT", "NN_ROTATE_RIGHT",
                   "NN_XOR", "NN_OR", "NN_AND", "NN_NOT",
                   "NN_SHIFT_RIGHT"):
@@ -357,7 +374,7 @@ def run_stream(lines, fail_fast: bool = False):
             check(lanes, got)
         elif op == "NN_MODINV_2EXP":
             e2 = static[0]
-            a = _pack(ins[0], nn.num_limbs(max(maxbits, e2)))
+            a = _pack(ins[0], nn.num_limbs(max(maxbits, e2, _W)))
             inv, ok = nnops.modinv_2exp(a, e2)
             check(lanes, [_ints(inv)])
         else:
