@@ -236,10 +236,15 @@ def bench_e2e_verify(jax, jnp, n, iters):
     assert ok.all()
     acc = ecdsa.verify_batch(kb, msgs, sigs, "SHA256")   # warm + compile
     assert acc.all()
+    # pipelined user API: every batch pays FULL host marshalling (sig
+    # parsing, limb packing, hash padding, device transfer), but up to
+    # `depth` dispatches stay in flight so host and device overlap —
+    # the honest steady-state number for a byte-string serving loop.
+    batches = [(msgs, sigs)] * max(8, 2 * iters)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = ecdsa.verify_batch(kb, msgs, sigs, "SHA256")
-    dt = (time.perf_counter() - t0) / iters
+    for acc in ecdsa.verify_batches(kb, batches, "SHA256", depth=3):
+        pass
+    dt = (time.perf_counter() - t0) / len(batches)
     assert acc.all()
     _emit("p256_ecdsa_verify_e2e_throughput", n / dt,
           "verifies/sec/chip", 355.0)
