@@ -170,9 +170,8 @@ def point_dbl(c: EdwardsCurve, P: ExtPoint) -> ExtPoint:
     sb = lambda u, v: fp.sub(u, v, ctx)
     X1, Y1, Z1, _ = P
     Ka = ctx.const(c.a, like=X1)
-    A, B, Cs, E0 = _mul_group(ctx, [
-        (X1, X1), (Y1, Y1), (Z1, Z1), (ad(X1, Y1), ad(X1, Y1)),
-    ])
+    from .shortw import _sqr_group
+    A, B, Cs, E0 = _sqr_group(ctx, [X1, Y1, Z1, ad(X1, Y1)])
     D = A if c.a_is_1 else fp.mul(Ka, A, ctx)    # a = 1 (Ed448): skip mul
     E = sb(sb(E0, A), B)
     G = ad(D, B)

@@ -128,6 +128,15 @@ def _mul_group(ctx, pairs):
     return [r[:, i] for i in range(len(pairs))]
 
 
+def _sqr_group(ctx, items):
+    """Several independent field SQUARES as one batched Montgomery
+    squaring (Comba-squaring phase 1 — half the limb products; see
+    nn.core._sqr_columns). Companion of _mul_group."""
+    a = jnp.stack(items, axis=1)
+    r = fp.sqr(a, ctx)
+    return [r[:, i] for i in range(len(items))]
+
+
 def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
     """Complete addition, any a (Renes-Costello-Batina 2015 Alg. 1),
     restructured into 3 grouped multiply layers (6+6+6 products).
@@ -209,18 +218,79 @@ def point_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint) -> PrjPoint:
     return PrjPoint(sb(x3a, x3b), ad(y3a, y3b), ad(z3a, z3b))
 
 
+def point_jacobian_dbl(c: ShortWCurve, Xj, Yj, Zj):
+    """One Jacobian doubling (dbl-2001-b, 3M+5S for a=-3; specialized
+    a=0 / generic-a variants) — the cheap doubling of the PUBLIC
+    windowed-mult window block (see point_dbln_jac). Mirrors the Pallas
+    kernel body ops/pallas/point.py:_jdbl_body op-for-op (bit-identical
+    relaxed limbs)."""
+    ctx = c.fp_ctx
+    ad = lambda u, v: fp.add(u, v, ctx)
+    sb = lambda u, v: fp.sub(u, v, ctx)
+    delta = fp.sqr(Zj, ctx)
+    gamma = fp.sqr(Yj, ctx)
+    beta = fp.mul(Xj, gamma, ctx)
+    if c.a_is_m3:
+        m = fp.mul(sb(Xj, delta), ad(Xj, delta), ctx)
+        alpha = ad(ad(m, m), m)
+    elif c.a_is_0:
+        x2 = fp.sqr(Xj, ctx)
+        alpha = ad(ad(x2, x2), x2)
+    else:
+        A = ctx.const(c.a, like=Xj)
+        x2 = fp.sqr(Xj, ctx)
+        ad2 = fp.mul(fp.sqr(delta, ctx), A, ctx)
+        alpha = ad(ad(ad(x2, x2), x2), ad2)
+    alpha_sq = fp.sqr(alpha, ctx)
+    b4 = ad(ad(beta, beta), ad(beta, beta))
+    b8 = ad(b4, b4)
+    X3 = sb(alpha_sq, nn.relax_once(b8))
+    Z3 = sb(fp.sqr(ad(Yj, Zj), ctx), ad(gamma, delta))
+    t = sb(nn.relax_once(ad(b8, b4)), alpha_sq)   # 12b - alpha^2
+    g2 = fp.sqr(gamma, ctx)
+    g8 = ad(ad(ad(g2, g2), ad(g2, g2)), ad(ad(g2, g2), ad(g2, g2)))
+    Y3 = sb(fp.mul(alpha, t, ctx), nn.relax_once(g8))
+    return X3, Y3, Z3
+
+
+def point_dbln_jac(c: ShortWCurve, P: PrjPoint, ndbl: int) -> PrjPoint:
+    """2^ndbl * P for PUBLIC points via a Jacobian doubling block:
+    homog -> jac (X*Z, Y*Z^2, Z), ndbl Jacobian doublings (3M+5S each vs
+    the complete RCB doubling's 11M+2mc), jac -> homog
+    (Xj*Zj : Yj : Zj^3). The identity is handled by ONE select at entry
+    (lanes with Z ≡ 0 take the (1,1,0) Jacobian representative, whose
+    doubling orbit is itself and whose back-conversion is the valid
+    (0:1:0)); the adds around this block stay COMPLETE, so no
+    exceptional-case patching exists anywhere. Public-scalar paths only
+    (verify / order checks) — the schedule is input-independent but the
+    formula set is the throughput one."""
+    ctx = c.fp_ctx
+    inf = fp.is_zero_mask(P.z, ctx)     # Z < 5p contract (sum of 2 muls)
+    zz = fp.sqr(P.z, ctx)
+    Xj = fp.mul(P.x, P.z, ctx)
+    Yj = fp.mul(P.y, zz, ctx)
+    onec = ctx.const(1, like=P.x)
+    Xj = fp.select(inf, onec, Xj)
+    Yj = fp.select(inf, onec, Yj)
+    Zj = fp.select(inf, jnp.zeros_like(P.z), P.z)
+    for _ in range(ndbl):
+        Xj, Yj, Zj = point_jacobian_dbl(c, Xj, Yj, Zj)
+    zz = fp.sqr(Zj, ctx)
+    return PrjPoint(fp.mul(Xj, Zj, ctx), Yj, fp.mul(zz, Zj, ctx))
+
+
 def point_dbln_add(c: ShortWCurve, P: PrjPoint, Q: PrjPoint,
                    ndbl: int) -> PrjPoint:
     """2^ndbl * P + Q — the windowed-mult scan step. On TPU this is ONE
-    fused Pallas kernel (all ndbl+1 formulas' intermediates stay in VMEM);
-    elsewhere it decomposes into the individual complete formulas."""
+    fused Pallas kernel (all formulas' intermediates stay in VMEM);
+    elsewhere it decomposes into the Jacobian doubling block plus one
+    complete add."""
     from ..config import use_pallas
     if use_pallas():
         from ..ops.pallas import point as ppoint
         if ppoint.supported(c, P) and P.x.shape == Q.x.shape:
             return ppoint.point_dbln_add(c, P, Q, ndbl)
-    for _ in range(ndbl):
-        P = point_dbl(c, P)
+    P = point_dbln_jac(c, P, ndbl)
     return point_add(c, P, Q)
 
 
@@ -241,9 +311,8 @@ def point_dbl(c: ShortWCurve, P: PrjPoint) -> PrjPoint:
     ad = lambda u, v: fp.add(u, v, ctx)
     sb = lambda u, v: fp.sub(u, v, ctx)
     X, Y, Z = P
-    t0, t1, t2, xy, xz, yz = _mul_group(ctx, [
-        (X, X), (Y, Y), (Z, Z), (X, Y), (X, Z), (Y, Z),
-    ])
+    t0, t1, t2 = _sqr_group(ctx, [X, Y, Z])
+    xy, xz, yz = _mul_group(ctx, [(X, Y), (X, Z), (Y, Z)])
     t3 = ad(xy, xy)                          # 2XY
     Z3w = ad(xz, xz)                         # 2XZ
     if c.a_is_0:

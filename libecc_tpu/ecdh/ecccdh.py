@@ -26,9 +26,17 @@ _JITS: dict = {}
 def derive_shared_secret(kb: K.KeyBatch, peer_pubs: list[bytes]):
     """kb: our key batch; peer_pubs: raw uncompressed (X||Y) peer points.
     Returns (secrets list[bytes], ok mask). Secret = x(h*d*Peer), big-endian
-    p-sized bytes (reference: ecccdh.c derive)."""
+    p-sized bytes (reference: ecccdh.c derive).
+
+    Peer encodings: raw X||Y (libecc raw format) or SEC1 (0x04
+    uncompressed / 0x02/0x03 compressed — the reference decompresses ECDH
+    peer points via aff_pt_y_from_x, libecc_wycheproof.c:498)."""
     curve = kb.curve
-    peer = K.import_pub_raw(curve, "ECCCDH", peer_pubs)
+    nb = (curve.fp_ctx.bits + 7) // 8
+    if peer_pubs and len(peer_pubs[0]) != 2 * nb:
+        peer = K.import_pub_sec1(curve, "ECCCDH", peer_pubs)
+    else:
+        peer = K.import_pub_raw(curve, "ECCCDH", peer_pubs)
     key = (curve.name, "ecccdh")
     if key not in _JITS:
         def core(d, px, py, pz):

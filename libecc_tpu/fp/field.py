@@ -120,7 +120,7 @@ def sqr(a, ctx: FpCtx):
         from ..ops.pallas import mont as pmont
         if pmont.supported(ctx, a.shape):
             return pmont.mont_sqr_relaxed(a, ctx)
-    return nn.mont_mul_relaxed(a, a, ctx)
+    return nn.mont_sqr_relaxed(a, ctx)
 
 
 def canon(a, ctx: FpCtx):

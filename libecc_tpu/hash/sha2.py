@@ -226,6 +226,28 @@ def pack_blocks_sha256(msgs: list[bytes]) -> np.ndarray:
             np.uint32)
 
 
+def blocks_from_bytes_dev(msg_u8, mlen: int):
+    """DEVICE pad+pack for 64-byte-block big-endian hashes (SHA-2/SM3
+    layout): uint8[N, mlen] -> uint32[nblk, 16, N], inside jit. Static
+    mlen (one trace per length). Bit-identical to pack_blocks_sha256 —
+    the fused e2e path ships raw message bytes and pads on device."""
+    n = msg_u8.shape[0]
+    nblk = (mlen + 9 + 63) // 64
+    padlen = nblk * 64
+    tail = np.zeros(padlen - mlen, np.uint8)
+    tail[0] = 0x80
+    bitlen = mlen * 8
+    for i in range(8):
+        tail[-1 - i] = (bitlen >> (8 * i)) & 0xFF
+    padded = jnp.concatenate(
+        [msg_u8, jnp.broadcast_to(jnp.asarray(tail)[None],
+                                  (n, tail.shape[0]))], axis=1)
+    b = padded.reshape(n, nblk * 16, 4).astype(jnp.uint32)
+    words = ((b[:, :, 0] << 24) | (b[:, :, 1] << 16)
+             | (b[:, :, 2] << 8) | b[:, :, 3])      # (N, nblk*16) BE
+    return words.T.reshape(nblk, 16, n)
+
+
 def _rotr(x, n):
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 

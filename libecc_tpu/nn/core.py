@@ -131,6 +131,41 @@ def limbs_to_bytes_be_np(a, nbytes: int) -> list[bytes]:
     return [be[i * row + pad: (i + 1) * row] for i in range(n)]
 
 
+def be_rows_to_limbs_dev(rows_u8, k: int):
+    """DEVICE byte->limb unpack: uint8[N, L] big-endian rows ->
+    uint32[k, N] canonical 15-bit limbs, inside jit.
+
+    The host-side packers (native.be_bytes_to_limbs) move k*4 bytes per
+    value over the host->device link; shipping the raw L bytes and
+    unpacking on device cuts transfer 2.6x for 256-bit values — the e2e
+    serving path's dominant cost on a tunneled/PCIe host link. Bit-
+    compatible with bytes_be_to_limbs_np (same nb*8 <= k*15 contract)."""
+    n, L = rows_u8.shape
+    rev = rows_u8[:, ::-1].astype(U32)              # LSB-first bytes
+    pad = (-L) % 4
+    if pad:
+        rev = jnp.concatenate(
+            [rev, jnp.zeros((n, pad), U32)], axis=1)
+    nw = (L + 3) // 4
+    w = rev.reshape(n, nw, 4)
+    words = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+             | (w[:, :, 3] << 24))                  # (N, nw) LSW-first
+    words = jnp.concatenate([words, jnp.zeros((n, 1), U32)], axis=1)
+    total_bits = L * 8
+    limbs = []
+    for j in range(k):
+        lo = j * LIMB_BITS
+        if lo >= total_bits:
+            limbs.append(jnp.zeros((n,), U32))
+            continue
+        q, r = divmod(lo, 32)
+        v = words[:, q] >> r
+        if r > 32 - LIMB_BITS:
+            v = v | (words[:, q + 1] << (32 - r))
+        limbs.append(v & jnp.uint32(LIMB_MASK))
+    return jnp.stack(limbs, axis=0)
+
+
 def batch_to_limbs(xs, k: int) -> np.ndarray:
     """list[int] -> np.uint32[k, N] (vectorized via fixed-width bytes)."""
     nb = (k * LIMB_BITS + 7) // 8
@@ -659,8 +694,63 @@ def mont_mul_relaxed(a, b, ctx: MontCtx):
     return relax_once(hi)
 
 
+def _sqr_columns(a):
+    """Comba-squaring product columns: same COLUMN-VALUE semantics as
+    _mul_columns(a, a) computed with half the limb products — the
+    off-diagonal products a_i*a_j (i < j) are formed once and doubled
+    (2p < 2^31.1 for relax-once'd limbs, exact in u32). Column k holds
+    sum over {i<=j, i+j=k} of lo16(d_ij) + sum over i+j=k-1 of hi16,
+    where d_ij = 2*p_ij off-diagonal, p_ii on the diagonal. The limb
+    split differs from _mul_columns (lo(2p) != 2*lo(p)) but the weighted
+    value of every column pair is identical; every bound used downstream
+    (cols < 2^22, f32-carry exactness) still holds."""
+    ka = a.shape[0]
+    prod = a[:, None] * a[None]                  # (Ka, Ka, *B)
+    iu = np.arange(ka)
+    mshape = (ka, ka) + (1,) * (prod.ndim - 2)
+    upper = jnp.asarray(iu[:, None] < iu[None, :]).reshape(mshape)
+    diag = jnp.asarray(iu[:, None] == iu[None, :]).reshape(mshape)
+    eff = jnp.where(upper, prod + prod,
+                    jnp.where(diag, prod, jnp.zeros_like(prod)))
+    lo = eff & LIMB_MASK
+    hi = eff >> LIMB_BITS
+    bshape = a.shape[1:]
+    pad_cfg = [(0, 0), (0, 1)] + [(0, 0)] * len(bshape)
+    comb = jnp.pad(lo, pad_cfg)
+    pad_cfg[1] = (1, 0)
+    comb = comb + jnp.pad(hi, pad_cfg)           # (Ka, Ka+1, *B)
+    nc = 2 * ka
+    rows = []
+    for i in range(ka):
+        pre = [(i, nc - i - (ka + 1))] + [(0, 0)] * len(bshape)
+        rows.append(jnp.pad(comb[i], pre))
+    return jnp.sum(jnp.stack(rows, axis=0), axis=0)
+
+
 def mont_sqr_relaxed(a, ctx: MontCtx):
-    return mont_mul_relaxed(a, a, ctx)
+    """Relaxed Montgomery squaring. 15-bit mode runs the Comba-squaring
+    phase-1 (_sqr_columns) — half the limb products of a general multiply
+    (the classic NN squaring optimization the reference leaves on the
+    table; nn_mul.c uses the generic path). Value-identical to
+    mont_mul_relaxed(a, a); relaxed limb REPRESENTATIONS may differ
+    (both canonicalize identically)."""
+    if RAW_COLS:
+        return mont_mul_relaxed(a, a, ctx)
+    assert ctx.relaxed_ok, "relaxed ops need a headroom ctx (use FpCtx)"
+    k = ctx.k
+    bshape = a.shape[1:]
+    pinv = _const_bcast(ctx.pinv_full, bshape)
+    p_arr = _const_bcast(ctx.p, bshape)
+    ar = relax_once(a)
+    t_cols = _sqr_columns(ar)
+    t_lo_r = relax_once(t_cols[:k])
+    m = relax_once(_mul_columns(t_lo_r, pinv)[:k])
+    u_cols = _mul_columns(m, p_arr)
+    s_lo = t_cols[:k] + u_cols[:k]
+    carry = _f32_carry(s_lo)
+    hi = t_cols[k:] + u_cols[k:]
+    hi = hi.at[0].add(carry)
+    return relax_once(hi)
 
 
 def canonicalize(a, ctx: MontCtx):

@@ -75,11 +75,12 @@ def _add_body(ops, X1, Y1, Z1, T1, X2, Y2, Z2, T2):
 def _dbl_body(ops, X1, Y1, Z1):
     C = ops.C
     mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
-    A = mul(X1, X1)
-    B = mul(Y1, Y1)
-    Cs = mul(Z1, Z1)
+    sqr = getattr(ops, "sqr", None) or (lambda a: mul(a, a))
+    A = sqr(X1)
+    B = sqr(Y1)
+    Cs = sqr(Z1)
     xy = ad(X1, Y1)
-    E0 = mul(xy, xy)
+    E0 = sqr(xy)
     D = A if C["a_is_1"] else mc(A, C["A"])
     E = sb(sb(E0, A), B)
     G = ad(D, B)

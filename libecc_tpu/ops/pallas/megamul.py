@@ -126,8 +126,15 @@ def _build_kern(curve_key, k, w, nwin, model, npairs):
 
         def body(wi, carry):
             coords = [ops.read(o) for o in outs]
-            for _ in range(w):
-                coords = list(dblf(ops, *coords[:3]))
+            if model == "w":
+                # short-Weierstrass: the window's w doublings run in
+                # Jacobian coordinates (3M+5S each) with one conversion
+                # each way; the table adds stay COMPLETE (point.py
+                # _dbln_jac_block — identity handled by the entry select)
+                coords = list(wpoint._dbln_jac_block(ops, *coords[:3], w))
+            else:
+                for _ in range(w):
+                    coords = list(dblf(ops, *coords[:3]))
             for pi in range(npairs):
                 d = digs[pi][wi]
                 T = [_select_entry(tabs[pi * ncoord + c], d, k, tw, rows)

@@ -110,12 +110,18 @@ def _f32_carry(cols_lo):
     return jnp.rint(acc).astype(jnp.int32).astype(jnp.uint32)
 
 
-def _mont_body_refs(ctx_p, ctx_pinv, k, ar_ref, br_ref, t_ref, m_ref):
+def _mont_body_refs(ctx_p, ctx_pinv, k, ar_ref, br_ref, t_ref, m_ref,
+                    square=False):
     """Core Montgomery product over VMEM refs, Comba (column) order so at
     most ~4 tiles are live at a time (heavy live sets make Mosaic spill).
 
     ar_ref/br_ref: relaxed inputs (k,S,L); t_ref: (2k,S,L) scratch;
-    m_ref: (k,S,L) scratch. Returns the k output tiles (relaxed rep)."""
+    m_ref: (k,S,L) scratch. Returns the k output tiles (relaxed rep).
+
+    square=True runs the Comba-SQUARING phase 1: off-diagonal limb
+    products formed once and doubled (2p < 2^31.1, exact) — k(k+1)/2
+    VPU multiplies instead of k^2. Column values match
+    nn.core._sqr_columns limb-for-limb."""
     # phase 1: t = a*b column products (lo of col k + hi of col k-1)
     hi_prev = None
     for kk in range(2 * k):
@@ -123,7 +129,15 @@ def _mont_body_refs(ctx_p, ctx_pinv, k, ar_ref, br_ref, t_ref, m_ref):
         hi_acc = None
         lo_t = max(0, kk - (k - 1))
         for i in range(lo_t, min(k, kk + 1)):
-            p = ar_ref[i] * br_ref[kk - i]
+            j = kk - i
+            if square:
+                if i > j:
+                    continue
+                p = ar_ref[i] * ar_ref[j]
+                if i < j:
+                    p = p + p
+            else:
+                p = ar_ref[i] * br_ref[j]
             lo = p & LIMB_MASK
             acc = lo if acc is None else acc + lo
             h = p >> LIMB_BITS
@@ -225,17 +239,16 @@ def _mont_kernel(ctx_p, ctx_pinv, k, a_ref, *rest):
         lo = x & LIMB_MASK
         ar_ref[i] = lo if carry is None else lo + carry
         carry = x >> LIMB_BITS
-    if b_ref is a_ref:
-        for i in range(k):
-            br_ref[i] = ar_ref[i]
-    else:
+    square = b_ref is a_ref
+    if not square:
         carry = None
         for i in range(k):
             x = b_ref[i]
             lo = x & LIMB_MASK
             br_ref[i] = lo if carry is None else lo + carry
             carry = x >> LIMB_BITS
-    out = _mont_body_refs(ctx_p, ctx_pinv, k, ar_ref, br_ref, t_ref, m_ref)
+    out = _mont_body_refs(ctx_p, ctx_pinv, k, ar_ref, br_ref, t_ref, m_ref,
+                          square=square)
     for i in range(k):
         o_ref[i] = out[i]
 
@@ -260,7 +273,7 @@ def _build(p_int: int, k: int, square: bool):
                 b_ref, o_ref, t_ref, m_ref = rest
             ops = RowOps(C, t_ref, m_ref)
             a = a_ref[...]
-            o_ref[...] = ops.mul(a, a if square else b_ref[...])
+            o_ref[...] = ops.sqr(a) if square else ops.mul(a, b_ref[...])
         scratch = _row_scratch(k)
     else:
         kern = functools.partial(_mont_kernel, p_limbs, pinv_limbs, k)

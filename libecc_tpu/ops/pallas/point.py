@@ -25,8 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...nn import core as nn
-from .mont import (LIMB_MASK, SUBLANES, LANES, BLOCK, MAX_PALLAS_LIMBS,
-                   _relax, _mul_cols, _mul_cols_const, _f32_carry)
+from .mont import (LIMB_BITS, LIMB_MASK, SUBLANES, LANES, BLOCK,
+                   MAX_PALLAS_LIMBS, _relax, _mul_cols, _mul_cols_const,
+                   _f32_carry)
 
 
 # -- field ops on lists of (S, L) tiles ---------------------------------------
@@ -36,6 +37,34 @@ def _fmul(a, b, p_limbs, pinv_limbs, k):
     ar = _relax(a)
     br = _relax(b)
     t = _mul_cols(ar, br)
+    t_lo_r = _relax(t[:k])
+    m = _relax(_mul_cols_const(t_lo_r, pinv_limbs)[:k])
+    u = _mul_cols_const(m, p_limbs)
+    s_lo = [t[i] + u[i] for i in range(k)]
+    carry = _f32_carry(s_lo)
+    hi = [t[k + i] + u[k + i] for i in range(k)]
+    hi[0] = hi[0] + carry
+    return _relax(hi)
+
+
+def _fsqr(a, p_limbs, pinv_limbs, k):
+    """Relaxed Montgomery SQUARING: Comba-squaring phase 1 (off-diagonal
+    products doubled — k(k+1)/2 multiplies instead of k^2), identical
+    column values to nn.core._sqr_columns. Value-equal to _fmul(a, a)."""
+    ar = _relax(a)
+    cols = [None] * (2 * k)
+
+    def acc_at(idx, v):
+        cols[idx] = v if cols[idx] is None else cols[idx] + v
+
+    for i in range(k):
+        for j in range(i, k):
+            p = ar[i] * ar[j]
+            if i < j:
+                p = p + p
+            acc_at(i + j, p & LIMB_MASK)
+            acc_at(i + j + 1, p >> LIMB_BITS)
+    t = [c if c is not None else jnp.zeros_like(ar[0]) for c in cols]
     t_lo_r = _relax(t[:k])
     m = _relax(_mul_cols_const(t_lo_r, pinv_limbs)[:k])
     u = _mul_cols_const(m, p_limbs)
@@ -93,6 +122,7 @@ class TileOps:
         self.C = C
         k = C["k"]
         self.mul = lambda a, b: _fmul(a, b, C["p"], C["pinv"], k)
+        self.sqr = lambda a: _fsqr(a, C["p"], C["pinv"], k)
         self.mc = lambda a, c: _fmul_c(a, c, C["p"], C["pinv"], k)
         self.ad = _fadd
         self.sb = lambda a, b: _fsub(a, b, C["sub_kc"], C["sub_cc"],
@@ -138,6 +168,141 @@ UNROLLED_MAX_K = int(_os.environ.get("LIBECC_TPU_PALLAS_UNROLL_MAX_K", "30"))
 def _use_rows(k) -> bool:
     return (k > UNROLLED_MAX_K
             or _os.environ.get("LIBECC_TPU_PALLAS_ROWS", "0") == "1")
+
+
+def _is_zero_mod_p(ops, Z):
+    """Exact Z ≡ 0 (mod p) lane mask for ANY relaxed value < R.
+
+    One Montgomery multiply by the PLAIN constant 1 maps value(Z) to
+    w ≡ Z·R^-1 (mod p) with w < p + Z/R + 1 <= p + 1, so after exact
+    carry resolution w ∈ {0, p} exactly when Z ≡ 0. O(K) tile compares
+    after one constant multiply; the XLA mirror (fp.is_zero_mask via
+    canonicalize) computes the same boolean for every input."""
+    k = ops.C["k"]
+    one_plain = (1,) + (0,) * (k - 1)
+    limbs = Z if isinstance(Z, list) else [Z[i] for i in range(k)]
+    w = ops.mc(limbs if isinstance(Z, list) else Z, one_plain)
+    wl = w if isinstance(w, list) else [w[i] for i in range(k)]
+    out = []
+    carry = None
+    for i in range(k):
+        x = wl[i] if carry is None else wl[i] + carry
+        out.append(x & LIMB_MASK)
+        carry = x >> LIMB_BITS
+    p_int = ops.C["p_int"]
+    eq_any = None
+    for m in range(2):                     # w ∈ {0, p} iff Z ≡ 0
+        cand = nn.to_limbs(m * p_int, k)
+        eq = None
+        for i in range(k):
+            e = out[i] == jnp.uint32(int(cand[i]))
+            eq = e if eq is None else (eq & e)
+        eq_any = eq if eq_any is None else (eq_any | eq)
+    return eq_any
+
+
+def _sel(mask, a_limbs, b_limbs):
+    """Lanewise select between two tile lists: mask ? a : b."""
+    return [jnp.where(mask, a, b) for a, b in zip(a_limbs, b_limbs)]
+
+
+# -- Jacobian doubling block (public windowed-mult hot path) -------------------
+#
+# The w doublings of every window run in JACOBIAN coordinates
+# (dbl-2001-b: 3M + 5S vs the complete RCB doubling's 11M + 2mc), with
+# one conversion each way per window and the COMPLETE RCB add unchanged:
+#   homog (X:Y:Z)  ->  jac (X*Z, Y*Z^2, Z)     [2M + 1S]
+#   jac (Xj,Yj,Zj) ->  homog (Xj*Zj : Yj : Zj^3) [2M + 1S]
+# Infinity: the homog accumulator can be the identity (leading zero
+# digits, or an adversarial mid-loop cancellation from the complete
+# add). to_jac SELECTS the fixed representative (1, 1, 0) for such
+# lanes; the jdbl orbit keeps it at (1, 1, Z≡0) and from_jac lands on
+# (0 : 1 : 0) — a valid homogeneous identity — with no further selects.
+# Incomplete-add exceptional cases never arise: the adds stay complete.
+# Not constant-schedule-dependent-on-secrets: ONLY public-scalar paths
+# (verification / order checks) call this block.
+
+
+def _jdbl_body(ops, X, Y, Z):
+    """One Jacobian doubling, dbl-2001-b (a=-3), 3M+5S; a=0 and generic-a
+    variants mirror the RCB specialization style. Subtrahend discipline
+    matches _add_body: subtrahends are multiply outputs or relax_once'd
+    small multiples of them, never subtraction outputs (their complement
+    offset exceeds the kc-limb window)."""
+    C = ops.C
+    mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
+    sqr = getattr(ops, "sqr", None) or (lambda a: mul(a, a))
+    _relax = ops.relax
+    delta = sqr(Z)
+    gamma = sqr(Y)
+    beta = mul(X, gamma)
+    if C["a_is_m3"]:
+        # alpha = 3*(X-delta)*(X+delta)
+        m = mul(sb(X, delta), ad(X, delta))
+        alpha = ad(ad(m, m), m)
+    elif C["a_is_0"]:
+        x2 = sqr(X)
+        alpha = ad(ad(x2, x2), x2)
+    else:
+        x2 = sqr(X)
+        ad2 = mc(sqr(delta), C["A"])             # a * Z^4
+        alpha = ad(ad(ad(x2, x2), x2), ad2)
+    alpha_sq = sqr(alpha)
+    b4 = ad(ad(beta, beta), ad(beta, beta))
+    b8 = ad(b4, b4)
+    X3 = sb(alpha_sq, _relax(b8))
+    Z3 = sb(sqr(ad(Y, Z)), ad(gamma, delta))
+    # 4*beta - X3 == 12*beta - alpha^2 (rewrite keeps the subtraction
+    # output X3 out of a subtrahend slot)
+    t = sb(_relax(ad(b8, b4)), alpha_sq)
+    g2 = sqr(gamma)
+    g8 = ad(ad(ad(g2, g2), ad(g2, g2)), ad(ad(g2, g2), ad(g2, g2)))
+    Y3 = sb(mul(alpha, t), _relax(g8))
+    return X3, Y3, Z3
+
+
+def _to_jac_body(ops, X, Y, Z):
+    """homog -> Jacobian with the identity-representative select."""
+    mul = ops.mul
+    sqr = getattr(ops, "sqr", None) or (lambda a: mul(a, a))
+    k = ops.C["k"]
+    one_limbs = ops.C["one"]
+    inf = _is_zero_mod_p(ops, Z)
+    zz = sqr(Z)
+    Xj = mul(X, Z)
+    Yj = mul(Y, zz)
+    if isinstance(Xj, list):          # tile backend
+        onec = [jnp.full_like(Xj[0], np.uint32(int(v)))
+                for v in one_limbs]
+        zeros = [jnp.zeros_like(Xj[0]) for _ in range(k)]
+        Zl = Z if isinstance(Z, list) else [Z[i] for i in range(k)]
+        return (_sel(inf, onec, Xj), _sel(inf, onec, Yj),
+                _sel(inf, zeros, Zl))
+    # rows backend: (K, S, L) arrays
+    onec_a = jnp.broadcast_to(
+        jnp.stack([jnp.uint32(int(v)) for v in one_limbs]).reshape(
+            k, 1, 1), Xj.shape)
+    return (jnp.where(inf[None], onec_a, Xj),
+            jnp.where(inf[None], onec_a, Yj),
+            jnp.where(inf[None], jnp.zeros_like(Z), Z))
+
+
+def _from_jac_body(ops, Xj, Yj, Zj):
+    """Jacobian -> homog: (Xj*Zj : Yj : Zj^3). No select needed — the
+    (1, 1, Z≡0) identity orbit maps to the valid (0 : 1 : 0)."""
+    mul = ops.mul
+    sqr = getattr(ops, "sqr", None) or (lambda a: mul(a, a))
+    zz = sqr(Zj)
+    return mul(Xj, Zj), Yj, mul(zz, Zj)
+
+
+def _dbln_jac_block(ops, X, Y, Z, ndbl):
+    """The whole per-window doubling block: to_jac, ndbl Jacobian
+    doublings, from_jac."""
+    Xj, Yj, Zj = _to_jac_body(ops, X, Y, Z)
+    for _ in range(ndbl):
+        Xj, Yj, Zj = _jdbl_body(ops, Xj, Yj, Zj)
+    return _from_jac_body(ops, Xj, Yj, Zj)
 
 
 # -- RCB complete formulas (mirror curves/shortw.py) ---------------------------
@@ -203,10 +368,11 @@ def _add_body(ops, X1, Y1, Z1, X2, Y2, Z2):
 def _dbl_body(ops, X, Y, Z):
     C = ops.C
     mul, mc, ad, sb = ops.mul, ops.mc, ops.ad, ops.sb
+    sqr = getattr(ops, "sqr", None) or (lambda a: mul(a, a))
     _relax = ops.relax
-    t0 = mul(X, X)
-    t1 = mul(Y, Y)
-    t2 = mul(Z, Z)
+    t0 = sqr(X)
+    t1 = sqr(Y)
+    t2 = sqr(Z)
     xy = mul(X, Y)
     xz = mul(X, Z)
     yz = mul(Y, Z)
@@ -264,6 +430,8 @@ def _curve_consts(curve):
 
     return dict(
         k=k,
+        p_int=p,
+        one=tuple(int(x) for x in nn.to_limbs(ctx.R % p, k)),
         p=tuple(int(x) for x in ctx.p),
         pinv=tuple(int(x) for x in ctx.pinv_full),
         sub_kc=int(ctx.sub_kc),
@@ -347,9 +515,8 @@ def _build_dbln_add(curve_key, k, ndbl):
 
     def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz, *scratch):
         ops = _make_ops(C, scratch)
-        X, Y, Z = ops.read(x1), ops.read(y1), ops.read(z1)
-        for _ in range(ndbl):
-            X, Y, Z = _dbl_body(ops, X, Y, Z)
+        X, Y, Z = _dbln_jac_block(ops, ops.read(x1), ops.read(y1),
+                                  ops.read(z1), ndbl)
         X3, Y3, Z3 = _add_body(ops, X, Y, Z, ops.read(x2), ops.read(y2),
                                ops.read(z2))
         ops.write(ox, X3)

@@ -193,6 +193,29 @@ class RowOps:
         _accum_full(self.t_ref, ar, br, k)
         return self._redc()
 
+    def sqr(self, a):
+        """Relaxed Montgomery SQUARING — Comba-squaring row accumulation
+        (row i multiplies only the j >= i tail, off-diagonals doubled:
+        k(k+1)/2 products). Column values identical to
+        nn.core._sqr_columns / point.py _fsqr; 13-bit raw mode falls back
+        to the generic product (no squaring variant there)."""
+        if nn.RAW_COLS:
+            return self.mul(a, a)
+        k = self.k
+        ar = relax_arr(a)
+        self.t_ref[...] = jnp.zeros((2 * k,) + a.shape[1:], jnp.uint32)
+        for i in range(k):
+            head = (ar[i] * ar[i])[None]               # (1, S, L)
+            if i + 1 < k:
+                rest = ar[i][None] * ar[i + 1:]
+                row = jnp.concatenate([head, rest + rest], 0)
+            else:
+                row = head
+            s = _seg(row)                              # (k-i+1, S, L)
+            sl = (pl.ds(2 * i, k - i + 1), slice(None), slice(None))
+            self.t_ref[sl] = self.t_ref[sl] + s
+        return self._redc()
+
     def mc(self, a, c_limbs):
         """Montgomery product with a constant (Montgomery-domain limbs)."""
         k = self.k

@@ -109,7 +109,7 @@ def deterministic_nonce(q: int, x: int, adata: bytes, h: bytes) -> int:
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="BELT_HASH", nonces=None,
-               adata=DEFAULT_ADATA, deterministic=False):
+               adata=DEFAULT_ADATA, deterministic=False, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     oid, _t = parse_adata(adata)
@@ -121,8 +121,8 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="BELT_HASH", nonces=None,
         privs = keys.priv_ints()
         nonces = [deterministic_nonce(q, privs[i], adata, hs[i])
                   for i in range(n)]
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, wy, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, wy, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
     s0s, corr = [], []
     two_l = pow(2, 8 * l, q)
@@ -135,10 +135,23 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="BELT_HASH", nonces=None,
         corr.append((h_bar, (s0_bar + two_l) % q))
     hb = wcore.scalars_dev(q_ctx, [c[0] for c in corr])
     sb = wcore.scalars_dev(q_ctx, [c[1] for c in corr])
-    s1 = common.q_sub(
-        common.q_sub(k_dev, common.q_mul(jnp.asarray(sb), keys.priv, q_ctx),
-                     q_ctx),
-        jnp.asarray(hb), q_ctx)
+    if bpair is None:
+        s1 = common.q_sub(
+            common.q_sub(k_dev,
+                         common.q_mul(jnp.asarray(sb), keys.priv, q_ctx),
+                         q_ctx),
+            jnp.asarray(hb), q_ctx)
+    else:
+        # masked finalize (bign_common.c USE_SIG_BLINDING):
+        # s1 = b^-1 * (b*k - (b*(s0_bar+2^8l))*x - b*h_bar)
+        b, binv = bpair
+        bk = common.q_mul(b, k_dev, q_ctx)
+        bsx = common.q_mul(common.q_mul(b, jnp.asarray(sb), q_ctx),
+                           keys.priv, q_ctx)
+        bh = common.q_mul(b, jnp.asarray(hb), q_ctx)
+        s1 = common.q_mul(
+            binv, common.q_sub(common.q_sub(bk, bsx, q_ctx), bh, q_ctx),
+            q_ctx)
     s1_i = wcore.scalars_host(s1)
     sigs = [s0s[i] + _le(s1_i[i], q_len) for i in range(n)]
     return sigs, ~np.asarray(inf)
@@ -184,9 +197,9 @@ def verify_digests_batch(keys: KeyBatch, digs, sigs,
 
 
 def sign_batch_dbign(keys, msgs, hash_name="BELT_HASH", nonces=None,
-                     adata=DEFAULT_ADATA):
+                     adata=DEFAULT_ADATA, blinding=False):
     return sign_batch(keys, msgs, hash_name, nonces, adata,
-                      deterministic=(nonces is None))
+                      deterministic=(nonces is None), blinding=blinding)
 
 
 def verify_batch_dbign(keys, msgs, sigs, hash_name="BELT_HASH",

@@ -90,10 +90,13 @@ def _sqrt_ts(n: int, p: int) -> int:
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
-               aux=None, adata=None):
+               aux=None, adata=None, blinding=False):
     """nonces: optional list[int] directly forcing k0 (KAT injection of the
     final nonce); aux: optional list[bytes] of 32-byte auxiliary random
-    (the reference's rand callback output, bip0340.c:94)."""
+    (the reference's rand callback output, bip0340.c:94).
+    blinding=True runs k*G with the blinded ladder (scalar k+b*q +
+    projective randomization) and the s-finalize in the b-masked domain
+    (bip0340.c USE_SIG_BLINDING) — output bytes are identical."""
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
@@ -122,7 +125,13 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
             "big") % q
         k0s.append(k0)
     k_dev, _ = wcore.nonces_for(curve, n, k0s)
-    rx, ry, inf = wcore.kg_affine(curve, k_dev)
+    bs = None
+    if blinding:
+        kw, b_dev, lam = wcore.blind_inputs(curve, k0s)
+        rx, ry, inf = wcore.kg_affine_blind(curve, kw, lam)
+        bs = [v % q for v in wcore.scalars_host(b_dev)]
+    else:
+        rx, ry, inf = wcore.kg_affine(curve, k_dev)
     rx_i, ry_i = wcore.scalars_host(rx), wcore.scalars_host(ry)
     ks, es = [], []
     for i in range(n):
@@ -137,7 +146,13 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
     sigs = []
     ok = []
     for i in range(n):
-        s = (ks[i] + es[i] * dps[i]) % q
+        if bs is None:
+            s = (ks[i] + es[i] * dps[i]) % q
+        else:
+            # masked finalize: s = b^-1 * (b*k + (b*e)*d) mod q
+            b = bs[i]
+            s = (pow(b, -1, q)
+                 * (b * ks[i] + (b * es[i] % q) * dps[i])) % q
         sigs.append(rx_i[i].to_bytes(p_len, "big") + s.to_bytes(q_len, "big"))
         ok.append(k0s[i] != 0)
     return sigs, np.array(ok) & (~np.asarray(inf))

@@ -227,11 +227,18 @@ def _q_inv_fermat(a, q_ctx: FpCtx):
 
 def _q_inv_batched(a, q_ctx: FpCtx):
     n = a.shape[-1]
-    zmask = nn.is_zero_mask(a)
+    # guard lanes whose VALUE is ≡ 0 (mod q) — not just literally-zero
+    # limbs: callers feed unreduced scalars (e.g. a hostile signature
+    # with s = q), and one such lane would zero the whole product tree,
+    # corrupting EVERY other lane's inverse (batch-poisoning; found by
+    # the Wycheproof s=q class). Swapped for 1 pre-tree, masked to the
+    # Fermat convention (0 -> 0) post-tree.
+    am = nn.to_mont(a, q_ctx)
+    zmask = nn.is_zero_mask(nn.canonicalize(am, q_ctx))
     one_m = jnp.broadcast_to(
         jnp.asarray(nn.to_limbs(q_ctx.r_int, q_ctx.k)).reshape(q_ctx.k, 1),
         a.shape)
-    am = jnp.where(zmask[None, :], one_m, nn.to_mont(a, q_ctx))
+    am = jnp.where(zmask[None, :], one_m, am)
     # pad lanes to a power of two with Montgomery ones
     n2 = 1 << (n - 1).bit_length()
     if n2 != n:

@@ -372,13 +372,66 @@ def _verify_dispatch(keys, e, sigs):
     return _VERIFY_CACHE[key](keys.pub.x, keys.pub.y, keys.pub.z, e, r, s)
 
 
+def _fused_applicable(alg, msgs, sigs, nb):
+    """The whole-pipeline bytes-in jit applies when the hash is a
+    64-byte-block big-endian MD algorithm with a device kernel
+    (SHA-224/256, SM3), the batch is uniform-length, and every
+    signature is well-formed."""
+    from ..hash.sha2 import pack_blocks_sha256
+    if alg.device_fn is None or alg.pack_fn is not pack_blocks_sha256:
+        return False
+    if not msgs or len(msgs) < 64:
+        return False
+    mlen = len(msgs[0])
+    if mlen + 9 > 64 * 4:        # cap traced variants at 4 blocks
+        return False
+    return (all(len(m) == mlen for m in msgs)
+            and all(len(s) == 2 * nb for s in sigs))
+
+
+def _jit_verify_fused(curve, alg, mlen):
+    from ..hash.sha2 import blocks_from_bytes_dev
+    q_ctx = curve.q_ctx
+    nb = (curve.q.bit_length() + 7) // 8
+
+    def f(px, py, pz, msg_u8, sig_u8):
+        blocks = blocks_from_bytes_dev(msg_u8, mlen)
+        words = alg.device_fn(blocks)
+        e = common.e_from_digest_bits(words, alg.digest_size * 8, q_ctx)
+        r = nn.be_rows_to_limbs_dev(sig_u8[:, :nb], q_ctx.k)
+        s = nn.be_rows_to_limbs_dev(sig_u8[:, nb:], q_ctx.k)
+        return verify_core(curve, PrjPoint(px, py, pz), e, r, s)
+    return jax.jit(f)
+
+
 def verify_batch_async(keys, msgs: list[bytes], sigs: list[bytes],
                        hash_name="SHA256", adata=None):
     """Non-blocking verify_batch: performs all host marshalling and
     dispatches the device program, returning the accept mask as a jax
     async array (np.asarray(result) blocks). Building block of the
-    streaming/pipelined server path."""
+    streaming/pipelined server path.
+
+    Uniform batches take the FUSED bytes-in pipeline: raw message and
+    signature bytes are shipped as u8 arrays and hashed / limb-unpacked
+    ON DEVICE (hash/sha2.py blocks_from_bytes_dev +
+    nn.be_rows_to_limbs_dev) — ~2.4x less host->device traffic and no
+    host packing loops; bit-identical accept masks (differential-tested
+    against the generic path)."""
+    curve, q_ctx = keys.curve, keys.curve.q_ctx
     alg = get_hash(hash_name)
+    nb = (curve.q.bit_length() + 7) // 8
+    if _fused_applicable(alg, msgs, sigs, nb):
+        mlen = len(msgs[0])
+        n = len(msgs)
+        msg_u8 = jnp.asarray(np.frombuffer(
+            b"".join(msgs), np.uint8).reshape(n, mlen))
+        sig_u8 = jnp.asarray(np.frombuffer(
+            b"".join(sigs), np.uint8).reshape(n, 2 * nb))
+        key = (curve.name, "verify_fused", alg.name, mlen)
+        if key not in _VERIFY_CACHE:
+            _VERIFY_CACHE[key] = _jit_verify_fused(curve, alg, mlen)
+        return _VERIFY_CACHE[key](keys.pub.x, keys.pub.y, keys.pub.z,
+                                  msg_u8, sig_u8)
     e = common.e_from_msgs(alg, msgs, keys.curve.q_ctx)
     return _verify_dispatch(keys, e, sigs)
 

@@ -28,21 +28,30 @@ def siglen(curve: ShortWCurve, hash_name=None) -> int:
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
-               adata=None):
+               adata=None, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
     p_len = (curve.fp_ctx.bits + 7) // 8
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, wy, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, wy, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
     rs = [int(wx_i[i]).to_bytes(p_len, "big")
           + int(wy_i[i]).to_bytes(p_len, "big") for i in range(n)]
     digs = common.batch_digests(alg, [rs[i] + msgs[i] for i in range(n)])
     e = wcore.scalars_dev(
         q_ctx, [int.from_bytes(d, "big") % q for d in digs])
-    s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv, q_ctx),
-                     q_ctx)
+    if bpair is None:
+        s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv,
+                                             q_ctx), q_ctx)
+    else:
+        # masked finalize (ecfsdsa.c USE_SIG_BLINDING):
+        # s = b^-1 * (b*k + (b*e)*x)
+        b, binv = bpair
+        bk = common.q_mul(b, k_dev, q_ctx)
+        bex = common.q_mul(common.q_mul(b, jnp.asarray(e), q_ctx),
+                           keys.priv, q_ctx)
+        s = common.q_mul(binv, common.q_add(bk, bex, q_ctx), q_ctx)
     nb = (q.bit_length() + 7) // 8
     ss = wcore.scalars_host(s)
     sigs = [rs[i] + ss[i].to_bytes(nb, "big") for i in range(n)]

@@ -34,19 +34,30 @@ def init_pub(curve: ShortWCurve, priv):
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
-               adata=None):
+               adata=None, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, _, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, _, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
     digs = common.batch_digests(alg, msgs)
     e = wcore.scalars_dev(
         q_ctx, [(-wcore.trunc_msb_mod_q(d, q)) % q for d in digs])
     # s = x*(k*r + e) mod q   (device q-arithmetic)
-    kr = common.q_mul(k_dev, r, q_ctx)
-    s = common.q_mul(keys.priv, common.q_add(kr, jnp.asarray(e), q_ctx), q_ctx)
+    if bpair is None:
+        kr = common.q_mul(k_dev, r, q_ctx)
+        s = common.q_mul(keys.priv, common.q_add(kr, jnp.asarray(e), q_ctx),
+                         q_ctx)
+    else:
+        # masked finalize (reference USE_SIG_BLINDING, ecgdsa.c): every
+        # term touching the secrets k and x is multiplied by b, unmasked
+        # once at the end: s = b^-1 * x * ((b*k)*r + b*e)
+        b, binv = bpair
+        kr = common.q_mul(common.q_mul(b, k_dev, q_ctx), r, q_ctx)
+        be = common.q_mul(b, jnp.asarray(e), q_ctx)
+        s = common.q_mul(binv, common.q_mul(
+            keys.priv, common.q_add(kr, be, q_ctx), q_ctx), q_ctx)
     ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
     nb = (q.bit_length() + 7) // 8
     rs, ss = wcore.scalars_host(r), wcore.scalars_host(s)

@@ -51,7 +51,7 @@ def _r_len(curve, alg):
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
-               adata=None):
+               adata=None, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
@@ -67,8 +67,8 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
         bufs.append(z + m)
     hs = [d[len(d) - rl:] if len(d) > rl else d
           for d in common.batch_digests(alg, bufs)]
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, _, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, _, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     wx_ints = wcore.scalars_host(wx)
     wx_digs = common.batch_digests(
         alg, [int(wx_ints[i]).to_bytes(p_len, "big") for i in range(n)])
@@ -81,8 +81,17 @@ def sign_batch(keys: KeyBatch, msgs, hash_name="SHA256", nonces=None,
                                  "big") % q)
     e = wcore.scalars_dev(q_ctx, es)
     # s = x*(k - e) mod q  (device)
-    s = common.q_mul(keys.priv, common.q_sub(k_dev, jnp.asarray(e), q_ctx),
-                     q_ctx)
+    if bpair is None:
+        s = common.q_mul(keys.priv, common.q_sub(k_dev, jnp.asarray(e),
+                                                 q_ctx), q_ctx)
+    else:
+        # masked finalize (eckcdsa.c USE_SIG_BLINDING):
+        # s = b^-1 * x * (b*k - b*e)
+        b, binv = bpair
+        bk = common.q_mul(b, k_dev, q_ctx)
+        be = common.q_mul(b, jnp.asarray(e), q_ctx)
+        s = common.q_mul(binv, common.q_mul(
+            keys.priv, common.q_sub(bk, be, q_ctx), q_ctx), q_ctx)
     ok = (~nn.is_zero_mask(s)) & (~inf)
     nb = (q.bit_length() + 7) // 8
     ss = wcore.scalars_host(s)

@@ -46,19 +46,28 @@ def _e_of_digest(dg: bytes, q: int, iso14888=None) -> int:
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="STREEBOG256", nonces=None,
-               adata=None, iso14888=None):
+               adata=None, iso14888=None, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, _, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, _, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     r = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
     e = wcore.scalars_dev(q_ctx, [_e_of_digest(d, q, iso14888) for d in
                                   common.batch_digests(alg, msgs)])
     # s = r*x + k*e mod q (device)
-    rx = common.q_mul(r, keys.priv, q_ctx)
-    ke = common.q_mul(k_dev, jnp.asarray(e), q_ctx)
-    s = common.q_add(rx, ke, q_ctx)
+    if bpair is None:
+        rx = common.q_mul(r, keys.priv, q_ctx)
+        ke = common.q_mul(k_dev, jnp.asarray(e), q_ctx)
+        s = common.q_add(rx, ke, q_ctx)
+    else:
+        # masked finalize (ecrdsa.c USE_SIG_BLINDING):
+        # s = b^-1 * ((b*r)*x + k*(b*e))
+        b, binv = bpair
+        rx = common.q_mul(common.q_mul(b, r, q_ctx), keys.priv, q_ctx)
+        ke = common.q_mul(k_dev, common.q_mul(b, jnp.asarray(e), q_ctx),
+                          q_ctx)
+        s = common.q_mul(binv, common.q_add(rx, ke, q_ctx), q_ctx)
     ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
     nb = (q.bit_length() + 7) // 8
     rs, ss = wcore.scalars_host(r), wcore.scalars_host(s)

@@ -41,18 +41,28 @@ def _commits(curve, alg, wx_i, wy_i, msgs, optimized) -> list:
     return common.batch_digests(alg, bufs)
 
 
-def _sign(keys: KeyBatch, msgs, hash_name, nonces, optimized):
+def _sign(keys: KeyBatch, msgs, hash_name, nonces, optimized,
+          blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     n = len(msgs)
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, wy, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, wy, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     wx_i, wy_i = wcore.scalars_host(wx), wcore.scalars_host(wy)
     rs = _commits(curve, alg, wx_i, wy_i, msgs, optimized)
     e = wcore.scalars_dev(q_ctx, [int.from_bytes(r, "big") % q for r in rs])
     # s = k + e*x mod q (device)
-    s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv, q_ctx),
-                     q_ctx)
+    if bpair is None:
+        s = common.q_add(k_dev, common.q_mul(jnp.asarray(e), keys.priv,
+                                             q_ctx), q_ctx)
+    else:
+        # masked finalize (ecsdsa_common.c USE_SIG_BLINDING pattern):
+        # s = b^-1 * (b*k + (b*e)*x)
+        b, binv = bpair
+        bk = common.q_mul(b, k_dev, q_ctx)
+        bex = common.q_mul(common.q_mul(b, jnp.asarray(e), q_ctx),
+                           keys.priv, q_ctx)
+        s = common.q_mul(binv, common.q_add(bk, bex, q_ctx), q_ctx)
     nb = (q.bit_length() + 7) // 8
     ss = wcore.scalars_host(s)
     sigs = [rs[i] + ss[i].to_bytes(nb, "big") for i in range(n)]
@@ -88,16 +98,20 @@ def _verify(keys: KeyBatch, msgs, sigs, hash_name, optimized):
     return np.array(out)
 
 
-def sign_batch(keys, msgs, hash_name="SHA256", nonces=None, adata=None):
-    return _sign(keys, msgs, hash_name, nonces, optimized=False)
+def sign_batch(keys, msgs, hash_name="SHA256", nonces=None, adata=None,
+               blinding=False):
+    return _sign(keys, msgs, hash_name, nonces, optimized=False,
+                 blinding=blinding)
 
 
 def verify_batch(keys, msgs, sigs, hash_name="SHA256", adata=None):
     return _verify(keys, msgs, sigs, hash_name, optimized=False)
 
 
-def sign_batch_osdsa(keys, msgs, hash_name="SHA256", nonces=None, adata=None):
-    return _sign(keys, msgs, hash_name, nonces, optimized=True)
+def sign_batch_osdsa(keys, msgs, hash_name="SHA256", nonces=None,
+                     adata=None, blinding=False):
+    return _sign(keys, msgs, hash_name, nonces, optimized=True,
+                 blinding=blinding)
 
 
 def verify_batch_osdsa(keys, msgs, sigs, hash_name="SHA256", adata=None):

@@ -162,6 +162,15 @@ def sign_mul_core(c: EdwardsCurve, r, nbits: int):
     return encode_core(c, R)
 
 
+def sign_mul_core_blind(c: EdwardsCurve, r_wide, lam, nbits: int):
+    """Blinded R = r*B: widened scalar r + b*q (prj_pt.c:1782 analog on
+    the Edwards comb) + lam-randomized extended-coordinate representative
+    (projective blinding — scaling (X:Y:Z:T) by lam preserves the point).
+    Same VALUES as sign_mul_core."""
+    R = scalar_mul.fixed_base_mul(c, r_wide, nbits=nbits, lam=lam)
+    return encode_core(c, R)
+
+
 def s_core(c: EdwardsCurve, r, k, s):
     """S = (r + k*s) mod q, canonical."""
     q_ctx = c.q_ctx
@@ -258,36 +267,66 @@ def check_context_rules(v: Variant, context: bytes) -> None:
         raise ValueError("ed25519ctx requires context")
 
 
-def r_points(keys: EdDSAKeyBatch, v: Variant, rs: list[int]):
-    """R = r*B for per-lane nonce scalars -> (r limb batch, encoded R)."""
+def r_points(keys: EdDSAKeyBatch, v: Variant, rs: list[int],
+             blinding=False):
+    """R = r*B for per-lane nonce scalars -> (r limbs, encoded R, bpair).
+    bpair is (b, b^-1) device scalars when blinding (eddsa.c
+    USE_SIG_BLINDING: blinded rB plus the masked S finalize), else
+    None."""
     c = keys.curve
     r_limbs = jnp.asarray(nn.batch_to_limbs(rs, c.q_ctx.k))
-    jit_r = _cached_jit((c.name, "signR"),
-                        lambda r: sign_mul_core(c, r, c.q_ctx.k * nn.LIMB_BITS))
-    ry, rsign = jit_r(r_limbs)
+    if blinding:
+        from . import wcore
+        kw, b_dev, lam = wcore.blind_inputs(c, rs)
+        nbits = 2 * c.q.bit_length() + 1
+        jit_r = _cached_jit(
+            (c.name, "signR_blind"),
+            lambda kw, lam: sign_mul_core_blind(c, kw, lam, nbits))
+        ry, rsign = jit_r(kw, lam)
+        bpair = (b_dev, common.q_inv(b_dev, c.q_ctx))
+    else:
+        jit_r = _cached_jit(
+            (c.name, "signR"),
+            lambda r: sign_mul_core(c, r, c.q_ctx.k * nn.LIMB_BITS))
+        ry, rsign = jit_r(r_limbs)
+        bpair = None
     ry_ints = nn.batch_from_limbs(np.asarray(ry))
     rsign_np = np.asarray(rsign)
     enc_R = [_enc_point(v, y, int(rsign_np[i])) for i, y in enumerate(ry_ints)]
-    return r_limbs, enc_R
+    return r_limbs, enc_R, bpair
 
 
 def assemble_sigs(keys: EdDSAKeyBatch, v: Variant, r_limbs, enc_R,
-                  ks: list[int]) -> list[bytes]:
-    """S = (r + k*s) mod q on device; wire signatures R || S."""
+                  ks: list[int], bpair=None) -> list[bytes]:
+    """S = (r + k*s) mod q on device; wire signatures R || S.
+    With bpair=(b, b^-1): masked finalize S = b^-1*(b*r + (b*k)*s) —
+    identical bytes, secrets never combined unmasked."""
     c = keys.curve
     k_limbs = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
-    jit_s = _cached_jit((c.name, "signS"),
-                        lambda r, k, s: s_core(c, r, k, s))
-    S = jit_s(r_limbs, k_limbs, keys.s_mod_q)
+    if bpair is None:
+        jit_s = _cached_jit((c.name, "signS"),
+                            lambda r, k, s: s_core(c, r, k, s))
+        S = jit_s(r_limbs, k_limbs, keys.s_mod_q)
+    else:
+        q_ctx = c.q_ctx
+
+        def s_blind(r, k, s, b, binv):
+            br = common.q_mul(b, r, q_ctx)
+            bks = common.q_mul(common.q_mul(b, k, q_ctx), s, q_ctx)
+            return common.q_mul(binv, common.q_add(br, bks, q_ctx), q_ctx)
+
+        jit_s = _cached_jit((c.name, "signS_blind"), s_blind)
+        S = jit_s(r_limbs, k_limbs, keys.s_mod_q, *bpair)
     s_ints = nn.batch_from_limbs(np.asarray(S))
     return [enc_R[i] + s_ints[i].to_bytes(v.enc_len, "little")
             for i in range(keys.n)]
 
 
 def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
-               context: bytes = b"") -> list[bytes]:
+               context: bytes = b"", blinding=False) -> list[bytes]:
     """Batched EdDSA signing. Returns 2*enc_len-byte signatures.
-    Reference: eddsa.c sign :1221-1553."""
+    Reference: eddsa.c sign :1221-1553; blinding=True applies the
+    USE_SIG_BLINDING countermeasures (blinded rB + masked S)."""
     v = get_variant(variant) if variant else keys.variant_family
     q = keys.curve.q
     check_context_rules(v, context)
@@ -296,11 +335,11 @@ def sign_batch(keys: EdDSAKeyBatch, msgs: list[bytes], variant=None,
     alg = get_hash(v.hash_name)
     rs = [_le_mod_q(d, q) for d in common.batch_digests(
         alg, [pre + keys._prefix[i] + m for i, m in enumerate(msgs_ph)])]
-    r_limbs, enc_R = r_points(keys, v, rs)
+    r_limbs, enc_R, bpair = r_points(keys, v, rs, blinding=blinding)
     ks = [_le_mod_q(d, q) for d in common.batch_digests(
         alg, [pre + enc_R[i] + keys.pub_bytes[i] + m
               for i, m in enumerate(msgs_ph)])]
-    return assemble_sigs(keys, v, r_limbs, enc_R, ks)
+    return assemble_sigs(keys, v, r_limbs, enc_R, ks, bpair=bpair)
 
 
 def verify_batch(curve_or_variant, pub_keys: list[bytes],

@@ -74,13 +74,42 @@ def keygen(curve: ShortWCurve, alg: str, n: int, rng=None,
     return KeyBatch(curve=curve, alg=alg, n=n, priv=priv, pub=pub)
 
 
+def order_check_mask(curve: ShortWCurve, pub: PrjPoint):
+    """Batched q*P == infinity check (reference: check_prj_pt_order,
+    prj_pt.c:1909) — True lanes have order dividing q. One device
+    windowed mult over the PUBLIC scalar q (broadcast across lanes)."""
+    from ..curves.shortw import is_infinity_mask
+
+    def make():
+        qbits = curve.q.bit_length()
+        kq = curve.q_ctx.k
+
+        def f(px, py, pz):
+            P = PrjPoint(px, py, pz)
+            ql = jnp.asarray(nn.to_limbs(curve.q, kq)).reshape(
+                (kq,) + (1,) * (px.ndim - 1))
+            ql = jnp.broadcast_to(ql, (kq,) + px.shape[1:])
+            qP = scalar_mul.windowed_mul_public(curve, ql, P, nbits=qbits)
+            return is_infinity_mask(curve, qP)
+        return f
+    from .wcore import cached_jit
+    return np.asarray(cached_jit((curve.name, "order_check"), make)(
+        pub.x, pub.y, pub.z))
+
+
 def pubkey_batch_from_affine_ints(curve: ShortWCurve, alg: str, xs, ys,
-                                  validate: bool = True) -> KeyBatch:
+                                  validate: bool = True,
+                                  check_order: bool | None = None
+                                  ) -> KeyBatch:
     """Build a public-key batch; by default validates every point is on
     the curve (reference: on-curve check on point import, aff_pt.c:139 —
     accepting off-curve public keys enables invalid-curve attacks).
-    Order/cofactor checks are the caller's concern for h > 1 curves
-    (reference: check_prj_pt_order where needed, prj_pt.c:1909)."""
+
+    check_order: run the q*P == infinity subgroup check
+    (check_prj_pt_order, prj_pt.c:1909). Default (None) enables it
+    exactly for h > 1 curves (WEI25519/WEI448 class), where an imported
+    point can otherwise carry a small-order component; on h == 1 curves
+    on-curve membership already implies order q."""
     if validate:
         p = curve.fp_ctx.p_int
         for i, (x, y) in enumerate(zip(xs, ys)):
@@ -89,6 +118,14 @@ def pubkey_batch_from_affine_ints(curve: ShortWCurve, alg: str, xs, ys,
             if (y * y - (x * x * x + curve.a * x + curve.b)) % p != 0:
                 raise ValueError(f"public key {i}: point not on curve")
     pub = curve.point_from_affine_ints(xs, ys)
+    if check_order is None:
+        check_order = validate and curve.h > 1
+    if check_order:
+        okm = order_check_mask(curve, pub)
+        if not okm.all():
+            bad = [i for i, v in enumerate(okm) if not v]
+            raise ValueError(
+                f"public key(s) {bad}: point not in the order-q subgroup")
     return KeyBatch(curve=curve, alg=alg, n=len(xs), priv=None, pub=pub)
 
 
@@ -116,6 +153,56 @@ def import_pub_raw(curve: ShortWCurve, alg: str, bufs: list[bytes]) -> KeyBatch:
             raise ValueError("bad public key length")
         xs.append(int.from_bytes(b[:nb], "big"))
         ys.append(int.from_bytes(b[nb:], "big"))
+    return pubkey_batch_from_affine_ints(curve, alg, xs, ys)
+
+
+def export_pub_sec1(kb: KeyBatch, compressed: bool = True) -> list[bytes]:
+    """SEC1 export: 0x02/0x03 || X (compressed, y-parity prefix) or
+    0x04 || X || Y."""
+    nb = (kb.curve.fp_ctx.bits + 7) // 8
+    xs, ys, inf = kb.pub_affine_ints()
+    out = []
+    for x, y in zip(xs, ys):
+        if compressed:
+            out.append(bytes([0x02 | (int(y) & 1)])
+                       + int(x).to_bytes(nb, "big"))
+        else:
+            out.append(b"\x04" + int(x).to_bytes(nb, "big")
+                       + int(y).to_bytes(nb, "big"))
+    return out
+
+
+def import_pub_sec1(curve: ShortWCurve, alg: str,
+                    bufs: list[bytes]) -> KeyBatch:
+    """SEC1 point import: 0x04 || X || Y uncompressed, or 0x02/0x03 || X
+    compressed (y parity in the prefix). The reference decompresses such
+    points via aff_pt_y_from_x (aff_pt.c:102; used on the Wycheproof ECDH
+    path, libecc_wycheproof.c:498 uncompress_ecc_point). Rejects points
+    with no square root (x not on the curve) and, like import_pub_raw,
+    validates on-curve + subgroup order (h > 1 curves)."""
+    from ..curves.maps import _sqrt_p
+    nb = (curve.fp_ctx.bits + 7) // 8
+    p = curve.fp_ctx.p_int
+    xs, ys = [], []
+    for i, b in enumerate(bufs):
+        if len(b) == 1 + 2 * nb and b[0] == 0x04:
+            xs.append(int.from_bytes(b[1:1 + nb], "big"))
+            ys.append(int.from_bytes(b[1 + nb:], "big"))
+        elif len(b) == 1 + nb and b[0] in (0x02, 0x03):
+            x = int.from_bytes(b[1:], "big")
+            if x >= p:
+                raise ValueError(f"public key {i}: x out of range")
+            rhs = (pow(x, 3, p) + curve.a * x + curve.b) % p
+            y = _sqrt_p(rhs, p)
+            if y is None:
+                raise ValueError(
+                    f"public key {i}: x has no point on the curve")
+            if y % 2 != (b[0] & 1):
+                y = (p - y) % p
+            xs.append(x)
+            ys.append(y)
+        else:
+            raise ValueError(f"public key {i}: bad SEC1 encoding")
     return pubkey_batch_from_affine_ints(curve, alg, xs, ys)
 
 

@@ -54,23 +54,34 @@ def _e_vals(keys: KeyBatch, msgs, alg, ident):
 
 
 def sign_batch(keys: KeyBatch, msgs, hash_name="SM3", nonces=None,
-               adata=DEFAULT_ID):
+               adata=DEFAULT_ID, blinding=False):
     curve, q_ctx, q = keys.curve, keys.curve.q_ctx, keys.curve.q
     alg = get_hash(hash_name)
     ident = adata if adata is not None else DEFAULT_ID
     n = len(msgs)
     es = _e_vals(keys, msgs, alg, ident)
-    k_dev, _ = wcore.nonces_for(curve, n, nonces)
-    wx, _, inf = wcore.kg_affine(curve, k_dev)
+    k_dev, k_ints = wcore.nonces_for(curve, n, nonces)
+    wx, _, inf, bpair = wcore.kg_affine_for(curve, k_dev, k_ints, blinding)
     e = wcore.scalars_dev(q_ctx, es)
     wx_q = common.x_coord_mod_q(wx, curve.fp_ctx, q_ctx)
     r = common.q_add(jnp.asarray(e), wx_q, q_ctx)
     # s = (1+x)^-1 (k - r x) mod q  (device)
     one = wcore.scalars_dev(q_ctx, [1] * n)
-    xp1_inv = common.q_inv(common.q_add(keys.priv, jnp.asarray(one), q_ctx),
-                           q_ctx)
-    rx = common.q_mul(r, keys.priv, q_ctx)
-    s = common.q_mul(xp1_inv, common.q_sub(k_dev, rx, q_ctx), q_ctx)
+    if bpair is None:
+        xp1_inv = common.q_inv(common.q_add(keys.priv, jnp.asarray(one),
+                                            q_ctx), q_ctx)
+        rx = common.q_mul(r, keys.priv, q_ctx)
+        s = common.q_mul(xp1_inv, common.q_sub(k_dev, rx, q_ctx), q_ctx)
+    else:
+        # masked finalize (sm2.c USE_SIG_BLINDING): the inversion runs on
+        # b*(1+x) (never on the bare secret), and the numerator is fully
+        # b-masked: s = (b*(1+x))^-1 * (b*k - (b*r)*x)
+        b, _binv = bpair
+        bxp1_inv = common.q_inv(common.q_mul(b, common.q_add(
+            keys.priv, jnp.asarray(one), q_ctx), q_ctx), q_ctx)
+        bk = common.q_mul(b, k_dev, q_ctx)
+        brx = common.q_mul(common.q_mul(b, r, q_ctx), keys.priv, q_ctx)
+        s = common.q_mul(bxp1_inv, common.q_sub(bk, brx, q_ctx), q_ctx)
     ok = (~nn.is_zero_mask(r)) & (~nn.is_zero_mask(s)) & (~inf)
     nb = (q.bit_length() + 7) // 8
     rs, ss = wcore.scalars_host(r), wcore.scalars_host(s)

@@ -401,7 +401,7 @@ class EdDSASignContext:
         from . import eddsa
         keys, v, q = self.keys, self.v, self.keys.curve.q
         rs = [eddsa._le_mod_q(st.digest(), q) for st in self._states]
-        self._r_limbs, self._enc_R = eddsa.r_points(keys, v, rs)
+        self._r_limbs, self._enc_R, _ = eddsa.r_points(keys, v, rs)
         alg = get_hash(v.hash_name)
         self._states = []
         for i in range(self.n):
@@ -424,7 +424,7 @@ class EdDSASignContext:
                 rs = [eddsa._le_mod_q(d, q) for d in common.batch_digests(
                     alg, [self._pre + keys._prefix[i] + phs[i]
                           for i in range(self.n)])]
-                r_limbs, enc_R = eddsa.r_points(keys, v, rs)
+                r_limbs, enc_R, _ = eddsa.r_points(keys, v, rs)
                 ks = [eddsa._le_mod_q(d, q) for d in common.batch_digests(
                     alg, [self._pre + enc_R[i] + keys.pub_bytes[i] + phs[i]
                           for i in range(self.n)])]

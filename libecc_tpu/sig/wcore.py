@@ -102,6 +102,30 @@ def blind_inputs(curve: ShortWCurve, nonce_ints, rng=None):
     return kw, b_dev, lam_mont
 
 
+def kg_affine_for(curve: ShortWCurve, k_dev, nonce_ints, blinding: bool):
+    """W = k*G for a scheme sign path, optionally with the reference's
+    USE_SIG_BLINDING countermeasures (common.mk:191-193 applies them
+    library-wide; per-scheme pattern e.g. ecdsa_common.c:466-531):
+
+      * scalar blinding: ladder over k + b*q (prj_pt.c:1782);
+      * projective blinding: lam-randomized representatives
+        (prj_pt.c:1266);
+      * finalize masking material: returns (b, b^-1) device scalars so
+        the scheme's s-equation runs entirely in the b-masked domain
+        (secrets k and x are never combined unmasked) — each scheme
+        multiplies its k/e/r terms by b and unmasks once with b^-1.
+
+    Returns (x, y, inf, bpair) with bpair = None when blinding is off,
+    else (b_dev, binv_dev). Output VALUES are identical either way."""
+    if not blinding:
+        x, y, inf = kg_affine(curve, k_dev)
+        return x, y, inf, None
+    kw, b_dev, lam = blind_inputs(curve, nonce_ints)
+    x, y, inf = kg_affine_blind(curve, kw, lam)
+    binv = common.q_inv(b_dev, curve.q_ctx)
+    return x, y, inf, (b_dev, binv)
+
+
 def straus_affine(curve: ShortWCurve, u, v, pub: PrjPoint):
     """Batched W = u*G + v*Y -> (x, y, inf) plain canonical limbs.
     Public-scalar throughput path (replaces the reference's hardened

@@ -31,6 +31,34 @@ import random
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Test tiers (the analog of the reference's quick self-tests vs the full
+# CI matrix, .github/workflows/libecc_runtime_tests.yml):
+#   default ("smoke"): skips @pytest.mark.slow — arithmetic + one curve
+#       per scheme + parity samples; target < 5 min cold on CPU.
+#   nightly: LIBECC_TPU_FULL=1 runs everything (full KAT matrix, all
+#       curves, fuzz at full count, multi-process), plus the config
+#       matrix via scripts/run_config_matrix.sh.
+# ---------------------------------------------------------------------------
+
+_FULL = os.environ.get("LIBECC_TPU_FULL", "0") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: nightly-tier test (runs when LIBECC_TPU_FULL=1 "
+        "or explicitly selected with -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _FULL or config.getoption("-m", default=""):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set LIBECC_TPU_FULL=1 (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def rng():

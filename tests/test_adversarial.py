@@ -136,11 +136,38 @@ def test_x25519_edge_inputs():
             assert not any(o and any(o) for o in out), "low-order accepted"
         except (ValueError, AssertionError):
             pass
-    # non-canonical u (u >= p): RFC 7748 mandates masking the top bit and
-    # reducing — check it matches the reduced input's output
+    # non-canonical u (u >= p): plain RFC 7748 (strict=False) masks the
+    # top bit and reduces — output matches the reduced input's; the
+    # reference-parity strict mode additionally REJECTS the lane
+    # (x25519_448.h:28-32 "non canonical u" clause)
     p = 2 ** 255 - 19
     u1 = (p + 5).to_bytes(32, "little")
     u2 = (5).to_bytes(32, "little")
-    o1 = xmod.x25519_batch([k], [u1])
-    o2 = xmod.x25519_batch([k], [u2])
-    assert o1 == o2
+    o1, ok1 = xmod.x25519_batch([k], [u1], strict=False)
+    o2, ok2 = xmod.x25519_batch([k], [u2], strict=False)
+    assert o1 == o2 and list(ok1) == list(ok2)
+    _, ok_strict = xmod.x25519_batch([k], [u1])
+    assert not ok_strict.any(), "strict mode accepted non-canonical u"
+
+
+def test_x25519_twist_rejection():
+    """Strict (reference-parity) mode rejects u on the quadratic twist
+    (x25519_448.h:28-32); plain RFC mode computes on the twist. A twist
+    u is found by Legendre search: u such that u^3 + A u^2 + u is a
+    non-residue mod p."""
+    from libecc_tpu.ecdh import x25519 as xmod
+    p = 2 ** 255 - 19
+    A = 486662
+    u = 2
+    while pow((u * u * u + A * u * u + u) % p, (p - 1) // 2, p) == 1:
+        u += 1
+    k = bytes(range(32))
+    ub = u.to_bytes(32, "little")
+    out, ok = xmod.x25519_batch([k], [ub])
+    assert not ok.any(), "strict mode accepted on-twist u"
+    out2, ok2 = xmod.x25519_batch([k], [ub], strict=False)
+    assert ok2.all() and any(out2[0]), "RFC mode must compute on twist"
+    # on-curve u (the base point) accepted in both modes
+    u9 = (9).to_bytes(32, "little")
+    _, okc = xmod.x25519_batch([k], [u9])
+    assert okc.all()

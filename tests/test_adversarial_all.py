@@ -276,12 +276,15 @@ def test_ecccdh_hostile_peer_points():
             assert not np.asarray(ok).any(), f"hostile peer accepted: {h.hex()[:32]}"
         except ValueError:
             pass
-    # wrong length
-    try:
-        secrets, ok = ecccdh.derive_shared_secret(kb, [b"\x02" * 33])
-        assert not np.asarray(ok).any()
-    except ValueError:
-        pass
+    # wrong length / bad SEC1 prefix (a 33-byte 0x02||X buffer is now a
+    # VALID compressed encoding — the import decompresses it, matching
+    # the reference's uncompress_ecc_point path)
+    for bad in (b"\x05" * 33, b"\x02" * 34):
+        try:
+            secrets, ok = ecccdh.derive_shared_secret(kb, [bad])
+            assert not np.asarray(ok).any()
+        except ValueError:
+            pass
 
 
 def test_x448_edge_inputs():
@@ -297,7 +300,15 @@ def test_x448_edge_inputs():
     p = 2 ** 448 - 2 ** 224 - 1
     u1 = (p + 9).to_bytes(56, "little")
     u2 = (9).to_bytes(56, "little")
-    assert xdh.x448_batch([k], [u1]) == xdh.x448_batch([k], [u2])
+    o1, ok1 = xdh.x448_batch([k], [u1], strict=False)
+    o2, ok2 = xdh.x448_batch([k], [u2], strict=False)
+    assert o1 == o2 and list(ok1) == list(ok2)
+    # strict (reference-parity) mode rejects the non-canonical lane
+    _, ok_s = xdh.x448_batch([k], [u1])
+    assert not ok_s.any()
+    # the base point u = 5 is on the curve: accepted in strict mode
+    _, ok_c = xdh.x448_batch([k], [(5).to_bytes(56, "little")])
+    assert ok_c.all()
 
 
 def test_offcurve_pubkey_rejected_in_hot_path():

@@ -176,8 +176,8 @@ def test_megamul_kern_bitexact_straus(monkeypatch):
     cls = type(P)
     acc = curve.pinf(like=P)
     for wi in range(du.shape[0]):
-        for _ in range(w):
-            acc = shortw.point_dbl(curve, acc)
+        # the scan-step doubling block (Jacobian inside, complete adds)
+        acc = shortw.point_dbln_jac(curve, acc, w)
         acc = shortw.point_add(curve, acc, scalar_mul._table_gather(
             cls, ptab, du[wi]))
         acc = shortw.point_add(curve, acc, scalar_mul._table_gather(
