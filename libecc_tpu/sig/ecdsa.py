@@ -249,6 +249,67 @@ def sign_batch(keys, msgs: list[bytes], hash_name="SHA256",
     return sigs, np.asarray(ok)
 
 
+def sign_batches(keys, batches, hash_name="SHA256", depth: int = 3,
+                 deterministic=False, blinding=False):
+    """Pipelined signing over a stream of message batches (the sign-side
+    analog of verify_batches): yields (sigs, ok) per batch while keeping
+    up to `depth` device dispatches in flight. Nonce generation and
+    signature byte marshalling stay on host (the RNG/export boundary);
+    the k*G comb + finalize arithmetic overlaps across batches."""
+    from collections import deque
+    pending: deque = deque()
+
+    def finish(item):
+        r, s, ok, nb_ = item
+        r_b = nn.limbs_to_bytes_be_np(np.asarray(r), nb_)
+        s_b = nn.limbs_to_bytes_be_np(np.asarray(s), nb_)
+        return ([r_b[i] + s_b[i] for i in range(len(r_b))],
+                np.asarray(ok))
+
+    curve, q_ctx = keys.curve, keys.curve.q_ctx
+    nb = (curve.q.bit_length() + 7) // 8
+    for msgs in batches:
+        alg = get_hash(hash_name)
+        if deterministic:
+            digs = common.batch_digests(alg, msgs)
+            e = common.e_from_digest_bits(
+                jnp.asarray(common.digests_to_words(digs)),
+                alg.digest_size * 8, q_ctx)
+            nonces = [rfc6979_nonce(h1, curve.q, x, hash_name)
+                      for h1, x in zip(digs, keys.priv_ints())]
+        else:
+            e = common.e_from_msgs(alg, msgs, q_ctx)
+            import os as _os
+            nbts = (curve.q.bit_length() + 128) // 8
+            nonces = []
+            while len(nonces) < len(msgs):
+                blob = _os.urandom(nbts * (len(msgs) - len(nonces)))
+                for i in range(0, len(blob), nbts):
+                    v = int.from_bytes(blob[i:i + nbts], "big") % curve.q
+                    if v:
+                        nonces.append(v)
+        k = jnp.asarray(common.scalars_from_ints(q_ctx, nonces))
+        if blinding:
+            from . import wcore as _w
+            kw, b_dev, lam = _w.blind_inputs(curve, nonces)
+            key = (curve.name, "sign_blind")
+            if key not in _SIGN_CACHE:
+                _SIGN_CACHE[key] = jax.jit(
+                    lambda d, e, k, kw, b, lam: sign_core_blind(
+                        curve, d, e, k, kw, b, lam))
+            r, s, ok = _SIGN_CACHE[key](keys.priv, e, k, kw, b_dev, lam)
+        else:
+            key = (curve.name, "sign")
+            if key not in _SIGN_CACHE:
+                _SIGN_CACHE[key] = _jit_sign(curve)
+            r, s, ok = _SIGN_CACHE[key](keys.priv, e, k)
+        pending.append((r, s, ok, nb))
+        while len(pending) >= depth:
+            yield finish(pending.popleft())
+    while pending:
+        yield finish(pending.popleft())
+
+
 def public_key_from_sig_batch(curve, msgs: list[bytes], sigs: list[bytes],
                               hash_name="SHA256"):
     """Batched ECDSA public-key recovery from (message, signature).

@@ -18,19 +18,20 @@ cd "$(dirname "$0")/.."
 SMOKE="tests/test_nn.py tests/test_nn_ops.py tests/test_sqr.py tests/test_ecdsa.py"
 FAILED=0
 
+EXTRA_ARGS=("$@")
+
 run_cell() {
     local limb="$1" pallas="$2"
     echo "=== LIMB_BITS=$limb PALLAS=$pallas ==="
     LIBECC_TPU_LIMB_BITS="$limb" LIBECC_TPU_PALLAS="$pallas" \
-        python -m pytest $SMOKE -q -x --no-header "$@" \
+        python -m pytest $SMOKE -q -x --no-header "${EXTRA_ARGS[@]}" \
         || { echo "CELL FAILED: limb=$limb pallas=$pallas"; FAILED=1; }
 }
 
-shift $# || true
-run_cell 15 1 "$@"
-run_cell 15 0 "$@"
-run_cell 13 0 "$@"   # 13-bit raw-column mode (nn/core.py:36) — XLA path
-run_cell 13 1 "$@"   # 13-bit + kernels (rows backend handles raw mode)
+run_cell 15 1
+run_cell 15 0
+run_cell 13 0   # 13-bit raw-column mode (nn/core.py:36) — XLA path
+run_cell 13 1   # 13-bit + kernels (rows backend handles raw mode)
 
 if [ "$FAILED" -ne 0 ]; then
     echo "CONFIG MATRIX: FAILURES"

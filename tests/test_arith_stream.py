@@ -2,7 +2,11 @@
 arithmetic_tests_generator.py -> stream -> arithmetic_tests.c, replayed
 here as generate() -> run_stream() over the batched kernels)."""
 
+import pytest
 from libecc_tpu import arith_stream
+
+# nightly tier (opcode-stream differential runs); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
 
 
 def test_stream_roundtrip_text():

@@ -6,6 +6,9 @@ import pytest
 
 from libecc_tpu.curves import asn1, params
 
+# nightly tier (DER curve import sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", ["SECP256R1", "SECP384R1", "SECP521R1",
                                   "BRAINPOOLP256R1", "SECP256K1",

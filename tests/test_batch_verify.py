@@ -13,6 +13,9 @@ from libecc_tpu.curves import params
 from libecc_tpu.sig import keys as K
 from libecc_tpu.sig import ecfsdsa, bip0340, eddsa, batch_verify
 
+# nightly tier (batch-verify reductions); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 def _rng(seed):
     r = random.Random(seed)

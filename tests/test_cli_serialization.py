@@ -12,6 +12,9 @@ import pytest
 from libecc_tpu import serialization as ser
 from libecc_tpu import cli
 
+# nightly tier (CLI end-to-end flows); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 def test_structured_sig_roundtrip():
     raw = b"\x01" * 64

@@ -19,6 +19,9 @@ from libecc_tpu.sig import wcore, eddsa
 from libecc_tpu.ref import hostref
 from libecc_tpu.nn import core as nn
 
+# nightly tier (cross-model transport sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 FAMILIES = [("CURVE25519", "ED25519", "WEI25519"),
             ("CURVE448", "ED448", "WEI448")]
 

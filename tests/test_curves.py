@@ -15,6 +15,9 @@ from libecc_tpu.curves import params, shortw, scalar_mul
 from libecc_tpu.nn import core as nn
 from libecc_tpu.ref import hostref
 
+# nightly tier (multi-curve sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 N = 4
 
 

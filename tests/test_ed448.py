@@ -5,9 +5,13 @@ src/tests/ed448_test_vectors.h, ed448ph_test_vectors.h carry the same
 RFC 8032 vectors).
 """
 
+import pytest
 import numpy as np
 
 from libecc_tpu.sig import eddsa
+
+# nightly tier (Ed448 (37-limb) compiles); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
 
 V_BLANK = dict(
     secret="6c82a562cb808d10d632be89c8513ebf6c929f34ddfa8c9f63c9960ef6e348a3"

@@ -9,6 +9,9 @@ from libecc_tpu.curves import edwards as edc
 from libecc_tpu.sig import eddsa
 from libecc_tpu.ecdh.x25519 import x25519, x448, x25519_batch
 
+# nightly tier (EdDSA/XDH vector sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ed25519():

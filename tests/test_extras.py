@@ -13,6 +13,9 @@ import pytest
 
 from libecc_tpu.extras import rsa, primes, fp_sigs, sss
 
+# nightly tier (RSA/DSA/SSS extras tier); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 def _rng(seed):
     r = random.Random(seed)

@@ -19,6 +19,9 @@ from libecc_tpu.curves import params
 from libecc_tpu.sig import fuzzing, keys as K, ecgdsa
 from libecc_tpu.ref import hostref
 
+# nightly tier (differential fuzz sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 _FULL = os.environ.get("LIBECC_TPU_FULL", "0") == "1"
 N = int(os.environ.get("LIBECC_TPU_FUZZ_N", "10000" if _FULL else "2500"))
 CURVE = "P-256"

@@ -105,13 +105,14 @@ def _load():
                 ecdh_groups.setdefault((r["ecdh"], r["curve"]),
                                        []).append(r)
     if not FULL:
-        # default: per alg, keep groups on up to 3 distinct curves
+        # default (smoke tier): per alg, ONE curve's group — the
+        # per-scheme sample; LIBECC_TPU_FULL=1 runs the whole matrix
         keep = OrderedDict()
         curves_per_alg = {}
         for key, rows in sig_groups.items():
             alg, curve = key[0], key[1]
             seen = curves_per_alg.setdefault(alg, [])
-            if curve in seen or len(seen) < 3:
+            if curve in seen or len(seen) < 1:
                 if curve not in seen:
                     seen.append(curve)
                 keep[key] = rows

@@ -6,10 +6,14 @@ the reference's own self-tests after every ECDSA/DECDSA KAT
 the signer's public key.
 """
 
+import pytest
 import numpy as np
 
 from libecc_tpu.curves import params
 from libecc_tpu.sig import ecdsa, keys as K
+
+# nightly tier (ECDSA key recovery); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
 
 
 def test_recover_pubkey_p256():

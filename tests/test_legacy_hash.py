@@ -12,6 +12,9 @@ import pytest
 from libecc_tpu.hash.registry import get_hash
 from libecc_tpu.extras.legacy_hash import des_encrypt_block
 
+# nightly tier (legacy hash battery); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 VEC = os.path.join(os.path.dirname(__file__), "vectors",
                    "legacy_hash_kats.jsonl")
 LENS = [0, 3, 55, 56, 64, 65, 137, 1000]

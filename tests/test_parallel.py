@@ -15,6 +15,9 @@ from libecc_tpu.curves import params
 from libecc_tpu.parallel import mesh as meshlib
 from libecc_tpu.ref import hostref
 
+# nightly tier (sharded mesh paths); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 N_DEV = 8
 
 

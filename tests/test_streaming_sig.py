@@ -16,6 +16,9 @@ from libecc_tpu.curves import params
 from libecc_tpu.sig import keys as K
 from libecc_tpu.sig.streaming import SignContext, VerifyContext
 
+# nightly tier (streaming contexts across schemes); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 N = 3
 MSGS = [b"streaming-iuf-" + bytes([65 + i]) * (5 + 11 * i)
         for i in range(N)]

@@ -14,6 +14,9 @@ import pytest
 from libecc_tpu.parallel import distributed as dist
 from libecc_tpu.parallel import mesh as meshlib
 
+# nightly tier (multi-device sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
+pytestmark = pytest.mark.slow
+
 
 def test_weak_scaling_sweep_runs():
     sweep = dist.weak_scaling(device_counts=(1, 2, 4),
