@@ -217,10 +217,12 @@ def bench_ed25519_verify(jax, jnp, n, iters):
 
 
 def bench_e2e_verify(jax, jnp, n, iters):
-    """End-to-end user-API throughput: ecdsa.verify_batch from bytes in
-    to accept mask out, INCLUDING all host marshalling (sig parsing,
+    """End-to-end user-API throughput: ecdsa.verify_batches from bytes
+    in to accept masks out, INCLUDING all host marshalling (sig parsing,
     limb packing, device transfer) — the honest number for callers that
-    hold signatures as byte strings."""
+    hold signatures as byte strings. Batch 32768 by default
+    (BENCH_E2E_BATCH): the tunnel's per-dispatch overhead amortizes —
+    measured 98k/s @4096, 170k @8192, 218k @32768."""
     from libecc_tpu.curves import params
     from libecc_tpu.sig import ecdsa, keys as K
 
@@ -275,7 +277,8 @@ def main():
 
     bench_mulmod(jax, jnp)
     _safe(bench_sign, jax, jnp, n, iters)
-    _safe(bench_e2e_verify, jax, jnp, n, max(2, iters // 4))
+    n_e2e = int(os.environ.get("BENCH_E2E_BATCH", "32768"))
+    _safe(bench_e2e_verify, jax, jnp, n_e2e, max(2, iters // 4))
     if bench_all:
         _safe(bench_ed25519_verify, jax, jnp, n, iters)
         # BRAINPOOLP256R1 is the exact curve behind the published 355/s

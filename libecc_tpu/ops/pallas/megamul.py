@@ -71,9 +71,11 @@ def _felem_const(limbs, k, rows):
     """Identity-coordinate constant in backend rep (scalar constants
     only — Pallas kernels cannot capture array constants)."""
     if rows:
-        col = jnp.stack([jnp.uint32(int(v)) for v in limbs]).reshape(
-            k, 1, 1)
-        return jnp.broadcast_to(col, (k, SUBLANES, LANES))
+        # full-shape concat-of-splats (see rows.RowOps.const: Mosaic
+        # lowers neither the 1-D->3-D reshape nor a (K,1,1) broadcast)
+        return jnp.concatenate(
+            [jnp.full((1, SUBLANES, LANES), np.uint32(int(v)))
+             for v in limbs], axis=0)
     return [jnp.full((SUBLANES, LANES), np.uint32(int(v)))
             for v in limbs]
 

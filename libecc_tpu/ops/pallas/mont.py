@@ -36,10 +36,12 @@ LANES = 128
 import os as _os
 # K cap for the Pallas path overall. Tile-list kernels run up to
 # point.UNROLLED_MAX_K (30); beyond that the row-vectorized backend
-# (rows.py) takes over, whose Mosaic instruction count is O(K) — raise
-# this to 48 to put the 512-bit curves and Ed448 on fused kernels once
-# the rows path is hardware-validated.
-MAX_PALLAS_LIMBS = int(_os.environ.get("LIBECC_TPU_PALLAS_MAX_K", "30"))
+# (rows.py) takes over, whose Mosaic instruction count is O(K).
+# Hardware-validated on v5e (round 4): BrainpoolP512 (K=37) sign/verify
+# correct on the rows kernels and 33x the XLA path's throughput
+# (27.1k vs 0.8k verifies/s), so the 512-bit curves and Ed448 ride
+# fused kernels by default.
+MAX_PALLAS_LIMBS = int(_os.environ.get("LIBECC_TPU_PALLAS_MAX_K", "48"))
 BLOCK = SUBLANES * LANES
 
 

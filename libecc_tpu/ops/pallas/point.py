@@ -278,10 +278,11 @@ def _to_jac_body(ops, X, Y, Z):
         Zl = Z if isinstance(Z, list) else [Z[i] for i in range(k)]
         return (_sel(inf, onec, Xj), _sel(inf, onec, Yj),
                 _sel(inf, zeros, Zl))
-    # rows backend: (K, S, L) arrays
-    onec_a = jnp.broadcast_to(
-        jnp.stack([jnp.uint32(int(v)) for v in one_limbs]).reshape(
-            k, 1, 1), Xj.shape)
+    # rows backend: (K, S, L) arrays (full-shape concat-of-splats — see
+    # rows.RowOps.const for the Mosaic lowering constraints)
+    onec_a = jnp.concatenate(
+        [jnp.full((1,) + Xj.shape[1:], np.uint32(int(v)))
+         for v in one_limbs], axis=0)
     return (jnp.where(inf[None], onec_a, Xj),
             jnp.where(inf[None], onec_a, Yj),
             jnp.where(inf[None], jnp.zeros_like(Z), Z))

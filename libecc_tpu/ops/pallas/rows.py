@@ -32,6 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from ...nn import core as nn
+from .mont import SUBLANES, LANES
 
 LIMB_BITS = nn.LIMB_BITS
 LIMB_MASK = np.uint32((1 << LIMB_BITS) - 1)
@@ -139,14 +140,19 @@ class RowOps:
         self._pinv = self.const(C["pinv"])
         self._c0 = self.const(C["sub_c0"])
         self._cc = jnp.uint32(C["sub_cc"])
-        self._iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+        self._iota = jax.lax.broadcasted_iota(
+            jnp.int32, (k, SUBLANES, LANES), 0)
         self._kc_mask = self._iota < C["sub_kc"]
 
     def const(self, limbs):
-        """(K,1,1) constant vector assembled from scalar constants —
-        Pallas kernels may capture scalars but not array constants."""
-        return jnp.stack(
-            [jnp.uint32(int(v)) for v in limbs]).reshape(len(limbs), 1, 1)
+        """Full-shape (K,S,L) constant assembled from scalar splats —
+        Pallas kernels may capture scalars but not array constants, and
+        Mosaic can lower neither the 1-D -> 3-D reshape of a stacked
+        vector nor a (K,1,1) -> (K,S,L) broadcast ('Broadcast in both
+        sublanes and lanes'), so each limb is a (1,S,L) splat."""
+        return jnp.concatenate(
+            [jnp.full((1, SUBLANES, LANES), np.uint32(int(v)))
+             for v in limbs], axis=0)
 
     def _redc(self):
         """Shared Montgomery-reduction tail: t_ref holds the 2K product
