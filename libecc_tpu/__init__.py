@@ -93,6 +93,16 @@ def _setup_compilation_cache():
         )
         plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
         if plat and plat.lower() not in ("axon", "tpu"):
+            # CPU platform: the persistent cache is DISABLED outright
+            # unless explicitly opted in (LIBECC_TPU_JAX_CACHE_CPU=1).
+            # Even with the per-host CPUID-fingerprint subdirectory, this
+            # jaxlib's CPU AOT serialize->deserialize round trip proved
+            # unsound in round 4: freshly-written entries deterministically
+            # SIGSEGV the cache loader on the SAME machine (observed in
+            # compilation_cache.put_executable_and_time and on subsequent
+            # loads). Cold compiles are slower but deterministic.
+            if _os.environ.get("LIBECC_TPU_JAX_CACHE_CPU", "0") != "1":
+                return
             tag = _host_cpu_fingerprint()
             cache_dir = _os.path.join(cache_dir, f"{plat.lower()}-{tag}")
         _os.makedirs(cache_dir, exist_ok=True)
