@@ -276,7 +276,10 @@ def main():
     import jax.numpy as jnp
 
     bench_mulmod(jax, jnp)
-    _safe(bench_sign, jax, jnp, n, iters)
+    # sign pipeline is dispatch-amortization-bound: 786k/s @32768 vs
+    # 703k @8192 on the tunnel
+    n_sign = int(os.environ.get("BENCH_SIGN_BATCH", "32768"))
+    _safe(bench_sign, jax, jnp, n_sign, iters)
     n_e2e = int(os.environ.get("BENCH_E2E_BATCH", "32768"))
     _safe(bench_e2e_verify, jax, jnp, n_e2e, max(2, iters // 4))
     if bench_all:
