@@ -10,7 +10,7 @@ first measurement, so no later failure can erase it — and re-emitted LAST
 
 Failure isolation (docs/BENCH_RCA.md — round-4 rc=124 post-mortem):
 - a watchdog thread enforces a wall-clock budget (`BENCH_BUDGET_S`,
-  default 900 s): if a bench or a remote Mosaic compile hangs, the
+  default 1500 s): if a bench or a remote Mosaic compile hangs, the
   watchdog re-emits the best headline value and exits rc=0;
 - benches are skipped (with a diagnostic) once elapsed time approaches
   the budget;
@@ -121,6 +121,49 @@ def _pipelined(fn, args, tok0, iters, count_per_iter):
     return count_per_iter / dt, tok_host
 
 
+def _ecdsa_fixture(jnp, c, n, seed, with_priv=False):
+    """Host-oracle bench fixture: u unique (key, msg, sig) tuples tiled to
+    n lanes. Signatures/pubkeys come from the pure-Python reference oracle
+    (libecc_tpu.ref.hostref) — NOT the device sign path — so the bench
+    setup costs seconds of host bigint math instead of minutes of
+    device-pipeline trace+compile (docs/BENCH_RCA.md). Tiling is
+    throughput-honest: every lane's device work is identical and
+    data-independent; u=BENCH_UNIQUE (default 1024) unique tuples measure
+    the same kernels as n unique ones.
+
+    Returns (kb, msgs, sigs, nonces), each n-long."""
+    from libecc_tpu.ref import hostref as H
+    from libecc_tpu.sig import wcore, keys as K
+    from libecc_tpu.hash.registry import get_hash
+
+    u = min(n, int(os.environ.get("BENCH_UNIQUE", "1024")))
+    reps = n // u
+    assert u * reps == n, f"BENCH_UNIQUE {u} must divide batch {n}"
+    rng = np.random.RandomState(seed)
+    p = c.fp_ctx.p_int
+    wc = H.WCurve(p=p, a=c.a % p, b=c.b % p, gx=c.gx, gy=c.gy, q=c.q)
+    sha = get_hash("SHA256")
+    nbq = (c.q.bit_length() + 7) // 8
+    privs = [int.from_bytes(rng.bytes(nbq), "big") % c.q or 1
+             for _ in range(u)]
+    pubs = [H.ec_mul(wc, d, (wc.gx, wc.gy)) for d in privs]
+    msgs = [rng.bytes(32) for _ in range(u)]
+    nonces = [int.from_bytes(rng.bytes(nbq), "big") % c.q or 1
+              for _ in range(u)]
+    es = [wcore.trunc_msb_mod_q(sha.hash(m), c.q) for m in msgs]
+    rs = [H.ecdsa_sign_ref(wc, d, e, k)
+          for d, e, k in zip(privs, es, nonces)]
+    sigs = [int(r).to_bytes(nbq, "big") + int(s).to_bytes(nbq, "big")
+            for r, s in rs]
+    priv = None
+    if with_priv:
+        priv = wcore.scalars_dev(c.q_ctx, privs * reps)
+    pub = c.point_from_affine_ints([P[0] for P in pubs] * reps,
+                                   [P[1] for P in pubs] * reps)
+    kb = K.KeyBatch(curve=c, alg="ECDSA", n=n, priv=priv, pub=pub)
+    return kb, msgs * reps, sigs * reps, nonces * reps
+
+
 def bench_mulmod(jax, jnp, n=1 << 16, chain=128, iters=8):
     """Batched 256-bit Montgomery mulmods/sec (BASELINE config[1])."""
     from libecc_tpu.curves import params
@@ -165,13 +208,8 @@ def bench_sign(jax, jnp, n, iters):
 
     c = params.get_curve("P-256")
     q_ctx = c.q_ctx
-    rng = np.random.RandomState(43)
-    privs = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
-             for _ in range(n)]
-    kb = K.keygen(c, "ECDSA", n, priv_ints=privs)
-    msgs = [rng.bytes(32) for _ in range(n)]
-    nonces = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
-              for _ in range(n)]
+    kb, msgs, _sigs, nonces = _ecdsa_fixture(jnp, c, n, seed=43,
+                                             with_priv=True)
     sha = get_hash("SHA256")
     blocks = jnp.asarray(sha.pack_fn(msgs))
     k = jnp.asarray(nn.batch_to_limbs(nonces, q_ctx.k))
@@ -203,15 +241,7 @@ def bench_verify(jax, jnp, curve_name, n, iters, headline=False):
     c = params.get_curve(curve_name)
     q_ctx = c.q_ctx
     nb = (c.q.bit_length() + 7) // 8
-    rng = np.random.RandomState(42)
-    privs = [int.from_bytes(rng.bytes(nb), "big") % c.q or 1
-             for _ in range(n)]
-    kb = K.keygen(c, "ECDSA", n, priv_ints=privs)
-    msgs = [rng.bytes(32) for _ in range(n)]
-    nonces = [int.from_bytes(rng.bytes(nb), "big") % c.q or 1
-              for _ in range(n)]
-    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256", nonces=nonces)
-    assert ok.all()
+    kb, msgs, sigs, _nonces = _ecdsa_fixture(jnp, c, n, seed=42)
 
     sha = get_hash("SHA256")
     blocks = jnp.asarray(sha.pack_fn(msgs))
@@ -299,15 +329,7 @@ def bench_e2e_verify(jax, jnp, n, iters):
     from libecc_tpu.sig import ecdsa, keys as K
 
     c = params.get_curve("P-256")
-    rng = np.random.RandomState(44)
-    privs = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
-             for _ in range(n)]
-    kb = K.keygen(c, "ECDSA", n, priv_ints=privs)
-    msgs = [rng.bytes(32) for _ in range(n)]
-    nonces = [int.from_bytes(rng.bytes(32), "big") % c.q or 1
-              for _ in range(n)]
-    sigs, ok = ecdsa.sign_batch(kb, msgs, "SHA256", nonces=nonces)
-    assert ok.all()
+    kb, msgs, sigs, _nonces = _ecdsa_fixture(jnp, c, n, seed=44)
     # warm + compile the SAME dispatch path the pipelined loop takes
     # (the fused bytes-in jit), or its Mosaic compile lands inside the
     # timed region
@@ -368,7 +390,12 @@ def main():
     n = int(os.environ.get("BENCH_BATCH", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     bench_all = os.environ.get("BENCH_ALL", "0") == "1"
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # default sized to the driver's observed window: the round-4 driver
+    # killed bench.py between ~30 and ~36 minutes in (BENCH_r04 started
+    # 20:38:36, the next driver step ran at 21:14) — 1500 s finishes a
+    # fully COLD default run (~1000 s: headline ~435 + mulmod ~5 + sign
+    # ~85 + e2e ~430 + refined headline) with 5+ min of margin
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     # leave room to re-emit the headline + flush before any outer timeout
     soft_deadline = budget_s * 0.8
 
@@ -413,7 +440,9 @@ def main():
     if room():
         n_sign = int(os.environ.get("BENCH_SIGN_BATCH", "32768"))
         _safe(bench_sign, jax, jnp, n_sign, iters)
-    if room(reserve=120.0):
+    # e2e compiles its own fused bytes-in Mosaic kernel: ~430 s cold on
+    # this stack (nothing reusable from the headline program)
+    if room(reserve=500.0):
         n_e2e = int(os.environ.get("BENCH_E2E_BATCH", "32768"))
         _safe(bench_e2e_verify, jax, jnp, n_e2e, max(2, iters // 4))
     if bench_all:

@@ -267,7 +267,14 @@ def _window_digits(m, nbits: int, w: int):
 
 def _build_mul_table(c, P, size: int):
     """[0..size-1]P as a stacked array (size, ncoord, K, *batch).
-    Levelized: each doubling level's odd adds run as ONE batched padd."""
+    Levelized: each doubling level's odd adds run as ONE batched padd.
+
+    Uses the same fused point kernels as the hot loop: the XLA formula
+    path measured 3x slower END-TO-END here (the unrolled-limb XLA graph
+    both compiles and runs poorly on TPU), and wrapping the kernels in
+    nested jits to dedupe their traces made XLA compile ~80s slower than
+    the re-traces it saved. Plain inline binds are the measured optimum
+    on this stack (docs/BENCH_RCA.md)."""
     table = [c.pinf(like=P), P]
     for i in range(2, size):
         table.append(c.pdbl(table[i // 2]) if i % 2 == 0
