@@ -92,6 +92,22 @@ def _setup_compilation_cache():
             _os.path.join(_os.path.expanduser("~"), ".cache", "libecc_tpu_jax"),
         )
         plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+        # the env var is NOT authoritative: a sitecustomize hook or the
+        # caller may have set jax.config.jax_platforms directly (observed:
+        # env=axon while the script forces the cpu backend via config —
+        # CPU AOT executables then land in / load from the shared axon
+        # cache dir with foreign machine features and SIGILL/SIGSEGV).
+        # If EITHER source names a non-accelerator platform first, apply
+        # the strict CPU rules.
+        try:
+            conf = (getattr(jax.config, "jax_platforms", None) or "")
+            conf = conf.split(",")[0].strip()
+        except Exception:
+            conf = ""
+        for src in (conf, plat):
+            if src and src.lower() not in ("axon", "tpu"):
+                plat = src
+                break
         if plat and plat.lower() not in ("axon", "tpu"):
             # CPU platform: the persistent cache is DISABLED outright
             # unless explicitly opted in (LIBECC_TPU_JAX_CACHE_CPU=1).

@@ -320,12 +320,23 @@ def windowed_mul_public(c, m, P, nbits: int | None = None, w: int = 4):
     if nbits is None:
         nbits = c.scalar_bits()
     cls = type(P)
+    # whole-mult mega-kernel at the requested w, else at w-1: a smaller
+    # table (half the VMEM) with ~nbits/(w-1) windows still beats the
+    # scan path's per-window HBM round-trips by a wide margin — this is
+    # what carries the 512-bit curves (K=37: the w=4 table is ~7.3 MB
+    # and over budget, w=3 fits)
+    for w_try in (w, w - 1):
+        if w_try < 2:
+            break
+        nwin = -(-nbits // w_try)
+        mm = _megamul_dispatch(c, P, w_try, nwin)
+        if mm is not None:
+            mod, model = mm
+            table = _build_mul_table(c, P, 1 << w_try)
+            digs = _window_digits(m, nbits, w_try)
+            return mod.windowed_mul(c, table, digs, cls, model, w_try)
     table = _build_mul_table(c, P, 1 << w)
     digs = _window_digits(m, nbits, w)
-    mm = _megamul_dispatch(c, P, w, digs.shape[0])
-    if mm is not None:
-        mod, model = mm
-        return mod.windowed_mul(c, table, digs, cls, model, w)
     acc = c.pinf(like=P)
 
     def step(carry, d):

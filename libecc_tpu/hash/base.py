@@ -40,6 +40,16 @@ class HashAlg:
         st.update(data)
         return st.digest()
 
+    def hash_scattered(self, chunks) -> bytes:
+        """Digest of a scattered chunk list, absorbed in order without
+        concatenating on the caller's side (the reference's
+        hfunc_scattered entry, src/hash/hash_algs.h:241 — used for
+        multi-buffer signing inputs)."""
+        st = self.new()
+        for c in chunks:
+            st.update(c)
+        return st.digest()
+
 
 class HashState:
     """Host streaming hash state (init/update/finalize pattern,

@@ -7,7 +7,10 @@ import pytest
 from libecc_tpu.curves import asn1, params
 
 # nightly tier (DER curve import sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 
 @pytest.mark.parametrize("name", ["SECP256R1", "SECP384R1", "SECP521R1",
@@ -38,6 +41,7 @@ def test_named_curve_oid_form():
     assert d["p"] == params.raw_params("SECP256R1")["p"]
 
 
+@pytest.mark.slow
 def test_load_registers_user_curve():
     # re-import P-256 under a fresh name: the user-curve flow end to end
     der = asn1.export_ec_parameters("SECP256R1")
@@ -71,6 +75,7 @@ def test_reject_trailing_and_bad_point():
                               bad["gx"], bad_gy, bad["q"], bad["h"])
 
 
+@pytest.mark.slow
 def test_all_builtin_curves_roundtrip():
     # every registered curve survives export->parse bit-exactly, in both
     # uncompressed and compressed base-point encodings

@@ -20,7 +20,10 @@ from libecc_tpu.ref import hostref
 from libecc_tpu.nn import core as nn
 
 # nightly tier (cross-model transport sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 FAMILIES = [("CURVE25519", "ED25519", "WEI25519"),
             ("CURVE448", "ED448", "WEI448")]
@@ -44,6 +47,7 @@ def test_curve_level_maps(mname, ename, wname):
     assert pt == (w.gx, w.gy)
 
 
+@pytest.mark.slow
 def test_ed25519_birational_roundtrip():
     e = get_edwards_curve("ED25519")
     w = params.get_curve("WEI25519")
@@ -53,6 +57,7 @@ def test_ed25519_birational_roundtrip():
     assert back == (e.gx, e.gy)
 
 
+@pytest.mark.slow
 def test_ed448_isogeny_roundtrip_is_mul4():
     """phi_dual(phi(P)) = 4P (degree-4 isogeny; eddsa.c:833-837)."""
     e = get_edwards_curve("ED448")
@@ -68,6 +73,7 @@ def test_ed448_isogeny_roundtrip_is_mul4():
 
 
 @pytest.mark.parametrize("mname,ename,wname", FAMILIES)
+@pytest.mark.slow
 def test_scalar_mult_cross_model(mname, ename, wname):
     """k*G computed natively on the Edwards engine == k*G computed on the
     Weierstrass engine, transported through the maps. Exercises two
@@ -117,6 +123,7 @@ def test_scalar_mult_cross_model(mname, ename, wname):
             assert pt == (wx_i[i], wy_i[i])
 
 
+@pytest.mark.slow
 def test_x25519_matches_weierstrass_transport():
     """X25519(k, base) == u-coordinate of the clamped-scalar multiple
     computed on the WEI25519 Weierstrass engine and mapped back
@@ -141,6 +148,7 @@ def test_x25519_matches_weierstrass_transport():
     assert out == u.to_bytes(32, "little")
 
 
+@pytest.mark.slow
 def test_v_from_u_and_coordinate_recovery():
     m = get_montgomery_curve("CURVE25519")
     p = m.fp_ctx.p_int

@@ -10,7 +10,10 @@ from libecc_tpu.sig import eddsa
 from libecc_tpu.ecdh.x25519 import x25519, x448, x25519_batch
 
 # nightly tier (EdDSA/XDH vector sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +50,7 @@ def test_ed25519_rfc8032_kats(ed25519):
     assert eddsa.verify_batch(ed25519, pubs, msgs, sigs).all()
 
 
+@pytest.mark.slow
 def test_ed25519_negatives(ed25519):
     seeds = [bytes.fromhex(RFC8032[0][0])]
     kb = eddsa.EdDSAKeyBatch(ed25519, seeds)
@@ -63,6 +67,7 @@ def test_ed25519_negatives(ed25519):
         ed25519, kb.pub_bytes, [b"hello"], [r_part + s_mall]).any()
 
 
+@pytest.mark.slow
 def test_ed25519ph(ed25519):
     seed = bytes.fromhex("833fe62409237b9d62ec77587520911e9a759cec1d19755b7da901b96dca3d42")
     pub = bytes.fromhex("ec172b93ad5e563bf4932c70e1245034c35467ef2efd4d64ebf819683467e2bf")
@@ -87,6 +92,7 @@ def test_x25519_rfc7748():
     assert x25519(k2, u2) == o2
 
 
+@pytest.mark.slow
 def test_x25519_dh_property():
     import os as _os
     base = (9).to_bytes(32, "little")
@@ -95,6 +101,7 @@ def test_x25519_dh_property():
     assert x25519(a, pb) == x25519(b, pa)
 
 
+@pytest.mark.slow
 def test_x448_rfc7748():
     k = bytes.fromhex("3d262fddf9ec8e88495266fea19a34d28882acef045104d0d1aae121"
                       "700a779c984c24f8cdd78fbff44943eba368f54b29259a4f1c600ad3")
@@ -105,6 +112,7 @@ def test_x448_rfc7748():
     assert x448(k, u) == o
 
 
+@pytest.mark.slow
 def test_ecccdh_roundtrip():
     from libecc_tpu.curves import params
     from libecc_tpu.ecdh import ecccdh

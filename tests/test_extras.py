@@ -14,7 +14,10 @@ import pytest
 from libecc_tpu.extras import rsa, primes, fp_sigs, sss
 
 # nightly tier (RSA/DSA/SSS extras tier); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 
 def _rng(seed):
@@ -32,6 +35,7 @@ def dsa_dom():
     return fp_sigs.gen_domain(1024, 160, rng=_rng(7))
 
 
+@pytest.mark.slow
 def test_rsa_primitive_roundtrip(rsa_kp):
     kp = rsa_kp
     ms = [random.Random(i).getrandbits(900) % kp.n for i in range(4)]
@@ -40,6 +44,7 @@ def test_rsa_primitive_roundtrip(rsa_kp):
     assert back == ms
 
 
+@pytest.mark.slow
 def test_rsa_pkcs1_v15_interop(rsa_kp):
     """Our signatures verify under `cryptography`, and vice versa."""
     kp = rsa_kp
@@ -62,6 +67,7 @@ def test_rsa_pkcs1_v15_interop(rsa_kp):
     assert not bad[0] and bad[1]
 
 
+@pytest.mark.slow
 def test_rsa_pss_interop(rsa_kp):
     kp = rsa_kp
     from cryptography.hazmat.primitives.asymmetric import rsa as crsa
@@ -78,6 +84,7 @@ def test_rsa_pss_interop(rsa_kp):
                                     "SHA256")[0]
 
 
+@pytest.mark.slow
 def test_rsa_encrypt_roundtrip(rsa_kp):
     kp = rsa_kp
     msgs = [b"secret one", b"secret two longer payload"]
@@ -86,6 +93,7 @@ def test_rsa_encrypt_roundtrip(rsa_kp):
     assert back == msgs
 
 
+@pytest.mark.slow
 def test_dsa_interop(dsa_dom):
     dom = dsa_dom
     privs, pubs = fp_sigs.keygen(dom, 2, rng=_rng(11))
@@ -107,6 +115,7 @@ def test_dsa_interop(dsa_dom):
     assert not bad[0] and bad[1]
 
 
+@pytest.mark.slow
 def test_sdsa_roundtrip(dsa_dom):
     dom = dsa_dom
     privs, pubs = fp_sigs.keygen(dom, 3, rng=_rng(21))
@@ -118,6 +127,7 @@ def test_sdsa_roundtrip(dsa_dom):
                                          "SHA256")[1]
 
 
+@pytest.mark.slow
 def test_kcdsa_roundtrip(dsa_dom):
     dom = dsa_dom
     privs, pubs = fp_sigs.keygen(dom, 3, rng=_rng(31), inv_pub=True)
@@ -131,6 +141,7 @@ def test_kcdsa_roundtrip(dsa_dom):
                                           "SHA256")[2]
 
 
+@pytest.mark.slow
 def test_gost94_roundtrip(dsa_dom):
     dom = dsa_dom
     privs, pubs = fp_sigs.keygen(dom, 2, rng=_rng(41))

@@ -20,7 +20,10 @@ from libecc_tpu.sig import fuzzing, keys as K, ecgdsa
 from libecc_tpu.ref import hostref
 
 # nightly tier (differential fuzz sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 _FULL = os.environ.get("LIBECC_TPU_FULL", "0") == "1"
 N = int(os.environ.get("LIBECC_TPU_FUZZ_N", "10000" if _FULL else "2500"))
@@ -77,6 +80,7 @@ def test_ecdsa_raw_differential(setup):
     assert not acc_bad.any()
 
 
+@pytest.mark.slow
 def test_ecgdsa_raw_differential(setup):
     curve, privs, nonces, digests = setup
     q = curve.q
@@ -102,6 +106,7 @@ def test_ecgdsa_raw_differential(setup):
     assert acc.all()
 
 
+@pytest.mark.slow
 def test_ecrdsa_raw_differential(setup):
     curve, privs, nonces, digests = setup
     q = curve.q
@@ -125,6 +130,7 @@ def test_ecrdsa_raw_differential(setup):
     assert acc.all()
 
 
+@pytest.mark.slow
 def test_raw_verify_fuzzed_signatures(setup, rnd):
     """Hostile signature fuzz: random r/s (in and out of range) must be
     accepted by the device verifier iff the int oracle accepts."""

@@ -87,3 +87,14 @@ def test_hmac():
     st.update(b"mes")
     st.update(b"sage")
     assert st.digest() == pyhmac.new(b"key", b"message", hashlib.sha256).digest()
+
+
+def test_hash_scattered():
+    """hfunc_scattered analog: chunk-list digest == one-shot digest of
+    the concatenation (reference: src/hash/hash_algs.h:241)."""
+    from libecc_tpu.hash.registry import get_hash, list_hashes
+    chunks = [b"", b"ab", b"c" * 77, b"", b"d" * 129, b"e"]
+    joined = b"".join(chunks)
+    for name in ("SHA256", "SHA512", "SHA3_256", "SM3", "STREEBOG256"):
+        alg = get_hash(name)
+        assert alg.hash_scattered(chunks) == alg.hash(joined), name

@@ -16,7 +16,10 @@ from libecc_tpu.parallel import mesh as meshlib
 from libecc_tpu.ref import hostref
 
 # nightly tier (sharded mesh paths); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 N_DEV = 8
 
@@ -28,6 +31,7 @@ def _require_devices():
         pytest.skip(f"need {N_DEV} devices")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     """The driver's multi-chip validation entry must pass end-to-end."""
     _require_devices()

@@ -17,7 +17,9 @@ from libecc_tpu.sig import keys as K
 from libecc_tpu.sig.streaming import SignContext, VerifyContext
 
 # nightly tier (streaming contexts across schemes); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: full scheme matrix is nightly; one ECDSA streaming
+# roundtrip stays in the default (smoke) tier (round-4 verdict:
+# no subsystem may be invisible to the default run).
 
 N = 3
 MSGS = [b"streaming-iuf-" + bytes([65 + i]) * (5 + 11 * i)
@@ -42,6 +44,7 @@ def _keys(scheme):
 
 
 @pytest.mark.parametrize("scheme,hash_name", CASES)
+@pytest.mark.slow
 def test_streaming_matches_oneshot(scheme, hash_name):
     c, kb = _keys(scheme)
     sign_fn, verify_fn, _, _ = cli._scheme_mod(scheme)
@@ -68,6 +71,7 @@ def test_streaming_matches_oneshot(scheme, hash_name):
 
 
 @pytest.mark.parametrize("variant", ["ed25519", "ed25519ph"])
+@pytest.mark.slow
 def test_eddsa_streaming_matches_oneshot(variant):
     """Bounded-memory EdDSA streaming: two-pass protocol for pure
     variants, one-pass (through the prehash) for ph — byte-identical to
@@ -112,6 +116,7 @@ def test_eddsa_streaming_matches_oneshot(variant):
     assert not acc[0] and acc[1:].all()
 
 
+@pytest.mark.slow
 def test_eddsa_two_pass_length_mismatch():
     from libecc_tpu.sig import eddsa
     from libecc_tpu.sig.streaming import EdDSASignContext
@@ -128,6 +133,7 @@ def test_eddsa_two_pass_length_mismatch():
         SignContext(kb, "EDDSA25519")
 
 
+@pytest.mark.slow
 def test_bip0340_streaming_verify():
     """BIP0340 verification streams: the tagged-hash prefix
     H(tag)||H(tag)||Rx||Px is absorbed at init, the message streams."""
@@ -148,6 +154,7 @@ def test_bip0340_streaming_verify():
     assert not np.asarray(vctx.finalize()).any()
 
 
+@pytest.mark.slow
 def test_context_invalidated_after_finalize():
     _, kb = _keys("ECDSA")
     ctx = SignContext(kb, "ECDSA", "SHA256", nonces=NONCES)
@@ -167,3 +174,8 @@ def test_context_invalidated_after_finalize():
         vctx.finalize()
     with pytest.raises(RuntimeError):
         vctx.update(MSGS)
+
+
+def test_streaming_smoke():
+    """Default-tier representative: ECDSA/SHA256 streaming == one-shot."""
+    test_streaming_matches_oneshot("ECDSA", "SHA256")

@@ -15,9 +15,13 @@ from libecc_tpu.parallel import distributed as dist
 from libecc_tpu.parallel import mesh as meshlib
 
 # nightly tier (multi-device sweeps); smoke skips, LIBECC_TPU_FULL=1 runs
-pytestmark = pytest.mark.slow
+# Tier note: whole-file slow marks left every subsystem out of the
+# default run (round-4 verdict); now only the expensive cases are
+# nightly-tier, and one cheap representative per subsystem stays
+# in the default (smoke) tier.
 
 
+@pytest.mark.slow
 def test_weak_scaling_sweep_runs():
     sweep = dist.weak_scaling(device_counts=(1, 2, 4),
                               lanes_per_device=32, iters=2,
@@ -50,6 +54,7 @@ def test_sharding_overhead_efficiency_floor():
     assert so["efficiency"] > 0.5, so
 
 
+@pytest.mark.slow
 def test_2d_mesh_rate():
     mesh = meshlib.make_mesh_2d(2, 2)
     assert tuple(mesh.axis_names) == ("dcn", "ici")
