@@ -105,22 +105,33 @@ def _load():
                 ecdh_groups.setdefault((r["ecdh"], r["curve"]),
                                        []).append(r)
     if not FULL:
-        # default (smoke tier): per alg, ONE curve's group — the
-        # per-scheme sample; LIBECC_TPU_FULL=1 runs the whole matrix
-        keep = OrderedDict()
-        curves_per_alg = {}
-        for key, rows in sig_groups.items():
+        # default (smoke tier): per alg, exactly ONE group, preferring a
+        # <=256-bit curve — every (alg, curve, hash) group is its own
+        # sign+verify jit compile pair (minutes each cold on this 1-CPU
+        # host), so the sample must be one compile pair per scheme, on
+        # the cheapest limb count. The Ed448 family (K=32 limbs, the
+        # most expensive compiles in the suite) runs at nightly tier
+        # only; its field/ladder arithmetic stays smoke-covered by the
+        # X448 RFC 7748 single-iteration test and the Wycheproof corpus.
+        def rank(curve):
+            # SECP256R1 groups share their sign/verify programs with the
+            # rest of the default tier (test_ecdsa, wycheproof, blinding)
+            if curve == "SECP256R1":
+                return 0
+            return 1 if params.get_curve(curve).q.bit_length() <= 256 else 2
+
+        chosen = {}
+        for key in sig_groups:
             alg, curve = key[0], key[1]
-            seen = curves_per_alg.setdefault(alg, [])
-            if curve in seen or len(seen) < 1:
-                if curve not in seen:
-                    seen.append(curve)
-                keep[key] = rows
-        sig_groups = keep
+            if alg in ("EDDSA448", "EDDSA448PH"):
+                continue
+            prev = chosen.get(alg)
+            if prev is None or rank(curve) < rank(prev[1]):
+                chosen[alg] = key
+        sig_groups = OrderedDict((k, sig_groups[k]) for k in chosen.values())
         ecdh_groups = OrderedDict(
             (k, v) for k, v in ecdh_groups.items()
-            if k[0] in ("X25519", "X448") or k[1] in ("SECP256R1",
-                                                      "SECP384R1"))
+            if k[0] in ("X25519", "X448") or k[1] == "SECP256R1")
     return sig_groups, ecdh_groups
 
 
