@@ -317,8 +317,14 @@ def bench_ed_verify(jax, jnp, variant, n, iters):
                                  np.uint32))
     S = jnp.asarray(nn.batch_to_limbs(
         [int.from_bytes(s[el:], "little") for s in sigs], c.q_ctx.k))
-    ks = [eddsa._le_mod_q(eddsa._xof(v, sigs[i][:el], kb.pub_bytes[i],
-                                     msgs[i]), q) for i in range(n)]
+    # dom2/dom4 framing: mandatory for Ed448 (always_dom) even with an
+    # empty context — omitting it made every challenge wrong and the
+    # round-5 ed448 bench verify 0/8192 (docs/BENCH_NOTES.md). Plain
+    # Ed25519 frames with b"" so its line was unaffected.
+    pre = eddsa._dom(v, b"")
+    ks = [eddsa._le_mod_q(eddsa._xof(v, pre, sigs[i][:el],
+                                     kb.pub_bytes[i], msgs[i]), q)
+          for i in range(n)]
     k = jnp.asarray(nn.batch_to_limbs(ks, c.q_ctx.k))
 
     @jax.jit
